@@ -1,0 +1,29 @@
+"""Physics core: structs, rotation math, dynamics, trajectories, rewards, env."""
+
+from covo_mpc_tpu.models import dynamics, rewards, rotation, trajectory
+from covo_mpc_tpu.models.quad_env import EnvConfig, QuadEnv
+from covo_mpc_tpu.models.structs import (
+    PACKED_STATE_DIM,
+    Action3D,
+    EnvParams3D,
+    EnvState3D,
+    default_array,
+    pack_state,
+    unpack_state,
+)
+
+__all__ = [
+    "Action3D",
+    "EnvConfig",
+    "EnvParams3D",
+    "EnvState3D",
+    "PACKED_STATE_DIM",
+    "QuadEnv",
+    "default_array",
+    "dynamics",
+    "pack_state",
+    "rewards",
+    "rotation",
+    "trajectory",
+    "unpack_state",
+]

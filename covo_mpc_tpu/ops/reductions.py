@@ -1,0 +1,59 @@
+"""Cross-sample reductions: exponential weighting and distribution updates.
+
+Single-device forms live here; their cross-shard (psum/pmin) counterparts
+are assembled in :mod:`covo_mpc_tpu.parallel.sharded` from the same
+building blocks, so the math is written once.
+
+Semantics follow the reference update rules
+(reference: quadjax/controllers/mppi.py:106-126, covo.py:263-275).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+def mppi_weights(costs: jnp.ndarray, lam: float) -> jnp.ndarray:
+    """Softmax weights ``exp(-(c - min c)/λ) / Σ`` (reference: mppi.py:109-111)."""
+    shifted = jnp.exp(-(costs - jnp.min(costs)) / lam)
+    return shifted / jnp.sum(shifted)
+
+
+def weights_from_stats(
+    costs: jnp.ndarray, min_cost: jnp.ndarray, lam: float
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sharding-friendly split of :func:`mppi_weights`: given the GLOBAL
+    minimum cost, return (unnormalized weights, local normalizer). Shards
+    psum the normalizer and divide locally."""
+    unnorm = jnp.exp(-(costs - min_cost) / lam)
+    return unnorm, jnp.sum(unnorm)
+
+def mean_update(
+    weight: jnp.ndarray,  # (N,), sums to 1 globally
+    a_sampled: jnp.ndarray,  # (N, H, dA)
+    a_mean: jnp.ndarray,  # (H, dA)
+    gamma_mean,
+) -> jnp.ndarray:
+    """Weighted-mean blend (reference: mppi.py:114-118)."""
+    weighted = jnp.einsum("n,nhd->hd", weight, a_sampled)
+    return weighted * gamma_mean + a_mean * (1.0 - gamma_mean)
+
+
+def cov_update(
+    weight: jnp.ndarray,  # (N,)
+    a_sampled: jnp.ndarray,  # (N, H, dA)
+    a_mean_new: jnp.ndarray,  # (H, dA) — the UPDATED mean (reference quirk)
+    a_cov: jnp.ndarray,  # (H, dA, dA)
+    gamma_sigma,
+) -> jnp.ndarray:
+    """Weighted per-step covariance blend (reference: mppi.py:119-125).
+
+    The reference centers deviations on the freshly updated mean. With the
+    paper configuration gamma_sigma = 0 this reduces to `a_cov` — kept as a
+    runtime value (not static) for API parity.
+    """
+    dev = a_sampled - a_mean_new[None]
+    weighted = jnp.einsum("n,nhi,nhj->hij", weight, dev, dev)
+    return weighted * gamma_sigma + a_cov * (1.0 - gamma_sigma)

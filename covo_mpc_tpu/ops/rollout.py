@@ -1,0 +1,199 @@
+"""Batched rollout engines (jnp reference path).
+
+The MPC hot loop — N samples x H horizon steps of quadrotor dynamics plus
+cost accumulation — runs here as ONE wide array program over packed state
+``(N, 16)``. Contrast with the reference, which tree-repeats the entire
+EnvState3D (including (T, 3) trajectory tables and history buffers) N-wide
+and vmaps a scalar env step (reference: quadjax/controllers/mppi.py:68-97,
+covo.py:227-254): on TPU that costs O(N * T) HBM traffic per solve for data
+that never varies across samples. Here trajectory tables are indexed once
+per step with a scalar clock shared by all samples.
+
+Two cost paths:
+  * :func:`make_rollout` — sampled-rollout costs for MPPI/CoVO solves
+    (shared step key across samples and steps, reward freezing on done).
+  * :func:`make_hessian_cost` — differentiable single-rollout cumulative
+    cost for CoVO's Hessian (per-step key splits, no reward freezing),
+    matching reference covo.py:134-185.
+
+A fused Pallas kernel with the same contract lives in
+:mod:`covo_mpc_tpu.ops.rollout_pallas`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from covo_mpc_tpu.models import dynamics, rewards
+from covo_mpc_tpu.models.quad_env import QuadEnv
+from covo_mpc_tpu.models.structs import FDIST, OMEGA, POS, QUAT, VEL
+
+
+def _make_reward(env: QuadEnv):
+    name = env.reward_name
+    if name == "penyaw":
+
+        def reward(x, pos_tar, vel_tar):
+            return rewards.tracking_penyaw_reward(
+                x[..., POS], x[..., VEL], x[..., QUAT], pos_tar, vel_tar
+            )
+
+    elif name == "realworld":
+
+        def reward(x, pos_tar, vel_tar):
+            return rewards.tracking_realworld_reward(x[..., POS], x[..., QUAT], pos_tar)
+
+    else:  # pragma: no cover
+        raise NotImplementedError(name)
+    return reward
+
+
+def _make_done(env: QuadEnv):
+    max_steps = env.default_params.max_steps_in_episode
+    check_rollover = not env.config.disable_rollover_terminate
+    cos_45 = jnp.cos(jnp.pi / 4.0)
+
+    def done_fn(x, t):
+        """Termination on the pre-step state (reference: quadrotor.py:479-490)."""
+        d = (t >= max_steps) | (jnp.abs(x[..., POS]) > 3.0).any(axis=-1)
+        if check_rollover:
+            d = d | (x[..., QUAT][..., 3] < cos_45)
+            d = d | (jnp.abs(x[..., OMEGA]) > 100.0).any(axis=-1)
+        return d
+
+    return done_fn
+
+
+def make_rollout(env: QuadEnv):
+    """Build the sampled-rollout cost engine for ``env``.
+
+    Returns ``rollout_costs(x0, t0, pos_traj, vel_traj, actions, params,
+    step_key, deterministic, discount, collect_poses)`` ->
+    ``(costs (N,), poses (H, N, 3) | None)`` where
+
+      * ``x0`` (16,) is the packed (possibly obs-noisy) start state,
+      * ``t0`` is the scalar episode clock shared by all samples,
+      * ``actions`` is (N, H, action_dim),
+      * ``step_key`` is reused for every sample and step, reproducing the
+        reference's shared-noise quirk (reference: mppi.py:69-74),
+      * rewards are evaluated on pre-step states and frozen once a sample
+        terminates (reference: mppi.py:76, quadrotor.py:243).
+
+    Cost is the negated discounted reward sum (reference: mppi.py:99-106).
+    """
+    reward_fn = _make_reward(env)
+    done_fn = _make_done(env)
+    disturb_fn = env.disturb_fn
+    dt = env._dt
+
+    def rollout_costs(
+        x0,
+        t0,
+        pos_traj,
+        vel_traj,
+        actions,
+        params,
+        step_key,
+        deterministic: bool = False,
+        discount=1.0,
+        collect_poses: bool = False,
+    ):
+        N, H, _ = actions.shape
+        T = pos_traj.shape[0]
+        params = params.replace(
+            dyn_noise_scale=params.dyn_noise_scale * (1.0 - deterministic)
+        )
+        # one disturbance key for the whole solve (reference: mppi.py:69)
+        disturb_key = dynamics.derive_dynamics_keys(step_key)
+        x = jnp.broadcast_to(x0, (N,) + x0.shape)
+
+        def step(carry, inp):
+            x, r_prev, d_prev = carry
+            a, h = inp
+            t = t0 + h
+            ti = jnp.clip(t, 0, T - 1)
+            pos_tar = pos_traj[ti]
+            vel_tar = vel_traj[ti]
+
+            r = reward_fn(x, pos_tar, vel_tar)
+            d = done_fn(x, t)
+            r = jnp.where(d_prev, r_prev, r)
+            d = d | d_prev
+
+            a = jnp.clip(a, -1.0, 1.0)
+            u, _ = dynamics.control_to_thrust_omega(a, params)
+            x_new = dynamics.bodyrate_step(x, u, params, dt)
+            f_new = disturb_fn(disturb_key, params, t, x[..., VEL], x[..., FDIST])
+            x_new = x_new.at[..., FDIST].set(f_new)
+
+            out = (r, x_new[..., POS] if collect_poses else None)
+            return (x_new, r, d), out
+
+        init = (x, jnp.zeros(N), jnp.zeros(N, dtype=bool))
+        (_, _, _), (rews, poses) = lax.scan(
+            step, init, (actions.transpose(1, 0, 2), jnp.arange(H))
+        )
+        disc = jnp.power(discount, jnp.arange(H))
+        costs = -jnp.einsum("h,hn->n", disc, rews)
+        return costs, poses
+
+    return rollout_costs
+
+
+def make_hessian_cost(env: QuadEnv, H: int):
+    """Differentiable cumulative cost of one deterministic H-step rollout.
+
+    ``cost(a_flat, x0, t0, pos_traj, vel_traj, params, key)`` with
+    ``a_flat`` the flattened (H * action_dim,) action sequence. Semantics
+    match the reference's Hessian objective (reference: covo.py:142-180):
+
+      * deterministic env steps (dyn_noise_scale zeroed),
+      * a fresh key split per step (unlike sampled rollouts),
+      * rewards on pre-step states, NOT frozen on termination (the
+        reference tracks `done` but never applies it),
+      * the reference adds ``reward_fn(initial_state)`` as a terminal term
+        (covo.py:176-178); it is constant in the actions, hence invisible to
+        the Hessian, and is omitted here.
+
+    The rollout uses ``lax.scan``; forward-mode (jacfwd) differentiates scan
+    cleanly on TPU. (The reference unrolls a Python loop citing gradient
+    problems, covo.py:169 — with jacfwd-of-jacfwd over scan we reproduce its
+    Hessian to fp tolerance; pinned by tests/test_covo.py.)
+    """
+    reward_fn = _make_reward(env)
+    disturb_fn = env.disturb_fn
+    dt = env._dt
+    dA = env.action_dim
+
+    def cost(a_flat, x0, t0, pos_traj, vel_traj, params, key):
+        a_seq = a_flat.reshape(H, dA)
+        T = pos_traj.shape[0]
+        params = params.replace(dyn_noise_scale=0.0)
+
+        def step(carry, inp):
+            x, key = carry
+            a, h = inp
+            rng_act, key = jax.random.split(key)
+            t = t0 + h
+            ti = jnp.clip(t, 0, T - 1)
+            r = reward_fn(x, pos_traj[ti], vel_traj[ti])
+
+            a = jnp.clip(a, -1.0, 1.0)
+            u, _ = dynamics.control_to_thrust_omega(a, params)
+            x_new = dynamics.bodyrate_step(x, u, params, dt)
+            f_new = disturb_fn(
+                dynamics.derive_dynamics_keys(rng_act),
+                params,
+                t,
+                x[..., VEL],
+                x[..., FDIST],
+            )
+            x_new = x_new.at[..., FDIST].set(f_new)
+            return (x_new, key), r
+
+        (_, _), rews = lax.scan(step, (x0, key), (a_seq, jnp.arange(H)))
+        return -jnp.sum(rews)
+
+    return cost

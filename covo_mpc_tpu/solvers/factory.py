@@ -1,0 +1,101 @@
+"""Solver factory + hyperparameter parsing.
+
+Mirrors the reference's controller factory including the packed
+``"N{N}_H{H}_lam{lam}"`` parameter string (reference:
+quadjax/envs/quadrotor.py:670-752) so existing invocations keep working;
+prefer the explicit keyword arguments for new code.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from covo_mpc_tpu.ops import covariance, sampling
+from covo_mpc_tpu.solvers.base import BaseSolver, RandomSolver
+from covo_mpc_tpu.solvers.covo import CoVOParams, CoVOSolver
+from covo_mpc_tpu.solvers.mppi import MPPIParams, MPPISolver
+from covo_mpc_tpu.solvers.pid import PIDParams, PIDSolver
+
+DEFAULT_N = 8192
+DEFAULT_H = 32
+DEFAULT_LAM = 0.01
+DEFAULT_SIGMA = 0.5
+
+
+def parse_sample_params(param_text: str):
+    """Parse "N{N}_H{H}_lam{lam}" (reference: quadrotor.py:671-683)."""
+    if param_text == "" or param_text is None:
+        return DEFAULT_N, DEFAULT_H, DEFAULT_LAM, DEFAULT_SIGMA
+    parts = param_text.split("_")
+    return int(parts[0][1:]), int(parts[1][1:]), float(parts[2][3:]), DEFAULT_SIGMA
+
+
+def hover_sequence(env, H: int) -> jnp.ndarray:
+    """Initial nominal sequence: normalized hover thrust, zero body rates
+    (reference: quadrotor.py:685-690)."""
+    p = env.default_params
+    thrust_hover_normed = (p.m * p.g / p.max_thrust) * 2.0 - 1.0
+    return jnp.tile(jnp.array([thrust_hover_normed, 0.0, 0.0, 0.0]), (H, 1))
+
+
+def get_solver(
+    env,
+    name: str,
+    controller_params: str = "",
+    debug: bool = False,
+    rng_mode: str = sampling.PARITY,
+    hessian_mode: str = covariance.FWD_FWD,
+    collect_debug: bool = True,
+):
+    """Build (solver, control_params) by name (reference: quadrotor.py:670-752).
+
+    Names: "pid", "random", "mppi", and any name containing "covo"
+    ("covo_online" / "covo-online" / "covo_offline" / ... — substring match,
+    like the reference at quadrotor.py:724-737).
+    """
+    if name == "pid":
+        params = PIDParams(Kp=10.0, Kd=5.0, Ki=0.0, Kp_att=10.0)
+        return PIDSolver(env, params), params
+    if name == "random":
+        return RandomSolver(env, None), None
+
+    N, H, lam, sigma = parse_sample_params(controller_params)
+    if debug:
+        N, H = 4, 2  # fast-feedback smoke config (reference: quadrotor.py:705-707)
+    a_mean = hover_sequence(env, H)
+
+    if name == "mppi":
+        a_cov = jnp.tile(
+            jnp.diag(jnp.full((env.action_dim,), sigma**2)), (H, 1, 1)
+        )
+        params = MPPIParams(
+            gamma_mean=1.0,
+            gamma_sigma=0.0,
+            discount=1.0,
+            sample_sigma=sigma,
+            a_mean=a_mean,
+            a_cov=a_cov,
+        )
+        solver = MPPISolver(
+            env, params, N=N, H=H, lam=lam, rng_mode=rng_mode,
+            collect_debug=collect_debug,
+        )
+        return solver, params
+    if "covo" in name:
+        mode = "offline" if "offline" in name else "online"
+        a_cov = jnp.diag(jnp.full((H * env.action_dim,), sigma**2))
+        params = CoVOParams(
+            gamma_mean=1.0,
+            gamma_sigma=0.0,
+            discount=1.0,
+            sample_sigma=sigma,
+            a_mean=a_mean,
+            a_cov=a_cov,
+            a_cov_offline=jnp.zeros((H, env.action_dim, env.action_dim)),
+        )
+        solver = CoVOSolver(
+            env, params, N=N, H=H, lam=lam, mode=mode, rng_mode=rng_mode,
+            hessian_mode=hessian_mode, collect_debug=collect_debug,
+        )
+        return solver, params
+    raise NotImplementedError(f"unknown controller {name!r}")

@@ -1,0 +1,25 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so the multi-chip sharding layer is
+exercised without TPU hardware (SURVEY.md §4e). Must run before jax import.
+"""
+
+import os
+
+# Hard override: the machine environment pins JAX_PLATFORMS to the TPU
+# backend and a sitecustomize hook initializes it in every process; tests
+# must run on host CPU with virtual devices.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
