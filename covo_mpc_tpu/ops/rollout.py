@@ -99,6 +99,7 @@ def make_rollout(env: QuadEnv):
         deterministic: bool = False,
         discount=1.0,
         collect_poses: bool = False,
+        vary_axes=(),
     ):
         N, H, _ = actions.shape
         T = pos_traj.shape[0]
@@ -108,6 +109,16 @@ def make_rollout(env: QuadEnv):
         # one disturbance key for the whole solve (reference: mppi.py:69)
         disturb_key = dynamics.derive_dynamics_keys(step_key)
         x = jnp.broadcast_to(x0, (N,) + x0.shape)
+
+        init_r = jnp.zeros(N)
+        init_d = jnp.zeros(N, dtype=bool)
+        if vary_axes:
+            # Under shard_map the per-shard sampled actions are "varying"
+            # over the mesh axis while these carry inits are replicated;
+            # promote them so the scan carry types agree (shard_map VMA).
+            x = jax.lax.pcast(x, vary_axes, to="varying")
+            init_r = jax.lax.pcast(init_r, vary_axes, to="varying")
+            init_d = jax.lax.pcast(init_d, vary_axes, to="varying")
 
         def step(carry, inp):
             x, r_prev, d_prev = carry
@@ -131,7 +142,7 @@ def make_rollout(env: QuadEnv):
             out = (r, x_new[..., POS] if collect_poses else None)
             return (x_new, r, d), out
 
-        init = (x, jnp.zeros(N), jnp.zeros(N, dtype=bool))
+        init = (x, init_r, init_d)
         (_, _, _), (rews, poses) = lax.scan(
             step, init, (actions.transpose(1, 0, 2), jnp.arange(H))
         )
@@ -153,14 +164,22 @@ def make_hessian_cost(env: QuadEnv, H: int):
       * a fresh key split per step (unlike sampled rollouts),
       * rewards on pre-step states, NOT frozen on termination (the
         reference tracks `done` but never applies it),
-      * the reference adds ``reward_fn(initial_state)`` as a terminal term
-        (covo.py:176-178); it is constant in the actions, hence invisible to
-        the Hessian, and is omitted here.
+      * terms that are CONSTANT in the actions are dropped: the reference's
+        terminal ``reward_fn(initial_state)`` (covo.py:176-178) and its
+        step-0 reward, which is also evaluated on the initial state. Both
+        are invisible to the Hessian.
 
-    The rollout uses ``lax.scan``; forward-mode (jacfwd) differentiates scan
-    cleanly on TPU. (The reference unrolls a Python loop citing gradient
-    problems, covo.py:169 — with jacfwd-of-jacfwd over scan we reproduce its
-    Hessian to fp tolerance; pinned by tests/test_covo.py.)
+    Dropping the step-0 term is not just an optimization — it is what makes
+    a ``lax.scan`` rollout differentiable here at all. The initial state
+    sits exactly on its target (err_pos = 0), where ``d norm = x/|x|`` is
+    undefined. In the reference's unrolled Python loop the initial state is
+    a constant with a SYMBOLIC zero tangent, so autodiff never touches that
+    norm; under scan the state is part of the differentiated carry, the
+    tangent becomes a NUMERIC zero, and ``inf * 0 = NaN`` poisons the whole
+    Hessian. (This is the real mechanism behind the reference's "scan
+    breaks gradients" comment at covo.py:169.) Rewards are therefore
+    accumulated POST-step — only action-dependent states are ever
+    differentiated. Hessian parity is pinned by tests/test_covo.py.
     """
     reward_fn = _make_reward(env)
     disturb_fn = env.disturb_fn
@@ -177,8 +196,6 @@ def make_hessian_cost(env: QuadEnv, H: int):
             a, h = inp
             rng_act, key = jax.random.split(key)
             t = t0 + h
-            ti = jnp.clip(t, 0, T - 1)
-            r = reward_fn(x, pos_traj[ti], vel_traj[ti])
 
             a = jnp.clip(a, -1.0, 1.0)
             u, _ = dynamics.control_to_thrust_omega(a, params)
@@ -191,9 +208,15 @@ def make_hessian_cost(env: QuadEnv, H: int):
                 x[..., FDIST],
             )
             x_new = x_new.at[..., FDIST].set(f_new)
+
+            # post-step reward: the pre-step reward of iteration h+1
+            ti = jnp.clip(t + 1, 0, T - 1)
+            r = reward_fn(x_new, pos_traj[ti], vel_traj[ti])
             return (x_new, key), r
 
         (_, _), rews = lax.scan(step, (x0, key), (a_seq, jnp.arange(H)))
-        return -jnp.sum(rews)
+        # rews[h] = reward(s_{h+1}); the reference sums reward(s_1..s_{H-1})
+        # plus constants, so drop the last entry.
+        return -jnp.sum(rews[:-1])
 
     return cost

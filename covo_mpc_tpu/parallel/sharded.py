@@ -64,6 +64,7 @@ def make_sharded_mppi_solve(env, mesh, N: int, H: int, lam: float,
         costs, _ = rollout(
             x0, t0, pos_traj, vel_traj, a_local, params, step_key,
             deterministic=False, discount=discount, collect_poses=False,
+            vary_axes=(axis,),
         )
 
         min_cost = lax.pmin(jnp.min(costs), axis)
@@ -127,6 +128,7 @@ def make_sharded_covo_sample_rollout(env, mesh, N: int, H: int, lam: float,
         costs, _ = rollout(
             x0, t0, pos_traj, vel_traj, a_local, params, step_key,
             deterministic=True, discount=discount, collect_poses=False,
+            vary_axes=(axis,),
         )
 
         min_cost = lax.pmin(jnp.min(costs), axis)

@@ -1,0 +1,186 @@
+"""CoVO solver: Hessian estimators, Σ design, online/offline solve parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from covo_mpc_tpu.models import EnvConfig, QuadEnv, pack_state
+from covo_mpc_tpu.ops import covariance, sampling
+from covo_mpc_tpu.ops.rollout import make_hessian_cost
+from covo_mpc_tpu.solvers import get_solver
+from tests.reference_oracle import load_reference
+
+N, H, LAM = 16, 4, 0.01
+PSTR = f"N{N}_H{H}_lam{LAM}"
+
+
+def make_env():
+    return QuadEnv(
+        EnvConfig(
+            task="tracking",
+            enable_randomizer=False,
+            disturb_type="gaussian",
+            disable_rollover_terminate=True,
+            generate_noisy_state=True,
+        )
+    )
+
+
+def make_ref_env():
+    ref = load_reference()
+    return ref.envs.quadrotor.Quad3D(
+        task="tracking",
+        obs_type="quad",
+        enable_randomizer=False,
+        disturb_type="gaussian",
+        disable_rollover_terminate=True,
+        generate_noisy_state=True,
+    )
+
+
+class TestOptimizeSigma:
+    def test_det_preserved(self):
+        key = jax.random.PRNGKey(0)
+        A = jax.random.normal(key, (16, 16))
+        R = A @ A.T - 2.0 * jnp.eye(16)
+        sigma = 0.5
+        a_cov, factor = covariance.optimize_sigma(R, sigma, 16)
+        _, logdet = jnp.linalg.slogdet(a_cov)
+        assert float(logdet) == pytest.approx(16 * 2 * np.log(sigma), abs=1e-3)
+        np.testing.assert_allclose(factor @ factor.T, a_cov, atol=1e-5)
+
+    def test_inverse_direction(self):
+        """High-curvature directions get small sampling variance."""
+        R = jnp.diag(jnp.array([100.0, 1.0, 1.0, 1.0]))
+        a_cov, _ = covariance.optimize_sigma(R, 0.5, 4)
+        assert float(a_cov[0, 0]) < float(a_cov[1, 1])
+
+    @pytest.mark.skipif(load_reference() is None, reason="reference unavailable")
+    def test_reference_parity(self):
+        ref = load_reference()
+        env_r = make_ref_env()
+        ctrl, cp = ref.envs.quadrotor.get_controller(env_r, "covo_online", PSTR)
+        key = jax.random.PRNGKey(5)
+        A = jax.random.normal(key, (H * 4, H * 4))
+        R = A @ A.T - 1.5 * jnp.eye(H * 4)
+        ours, _ = covariance.optimize_sigma(R, 0.5, H * 4)
+        theirs = ctrl.optimize_sigma(R, cp)
+        np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+
+@pytest.mark.skipif(load_reference() is None, reason="reference unavailable")
+class TestHessian:
+    def _setup(self):
+        ref = load_reference()
+        env = make_env()
+        env_r = make_ref_env()
+        ctrl_r, cp_r = ref.envs.quadrotor.get_controller(env_r, "covo_online", PSTR)
+        key = jax.random.PRNGKey(42)
+        _, _, state = env.reset_env(key, env.default_params)
+        _, _, state_r = env_r.reset_env(key, env_r.default_params)
+        a_mean = ctrl_r.init_control_params.a_mean
+        return env, env_r, ctrl_r, cp_r, state, state_r, a_mean
+
+    def test_fwd_fwd_parity(self):
+        env, env_r, ctrl_r, cp_r, state, state_r, a_mean = self._setup()
+        key = jax.random.PRNGKey(9)
+        R_ref = ctrl_r.get_hessian(state_r, env_r.default_params, cp_r, a_mean, key)
+        hess = covariance.make_hessian(make_hessian_cost(env, H), covariance.FWD_FWD)
+        R = hess(
+            a_mean.flatten(), pack_state(state), state.time,
+            state.pos_traj, state.vel_traj, env.default_params, key,
+        )
+        np.testing.assert_allclose(R, R_ref, atol=2e-3, rtol=1e-3)
+
+    def test_fwd_rev_matches_fwd_fwd(self):
+        env, _, _, _, state, _, a_mean = self._setup()
+        key = jax.random.PRNGKey(9)
+        cost = make_hessian_cost(env, H)
+        args = (
+            pack_state(state), state.time, state.pos_traj, state.vel_traj,
+            env.default_params, key,
+        )
+        R1 = covariance.make_hessian(cost, covariance.FWD_FWD)(a_mean.flatten(), *args)
+        R2 = covariance.make_hessian(cost, covariance.FWD_REV)(a_mean.flatten(), *args)
+        np.testing.assert_allclose(R1, R2, atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.skipif(load_reference() is None, reason="reference unavailable")
+class TestSolveParity:
+    @pytest.mark.parametrize("hessian_mode", [covariance.FWD_FWD, covariance.FWD_REV])
+    def test_online_single_solve(self, hessian_mode):
+        ref = load_reference()
+        env = make_env()
+        env_r = make_ref_env()
+        solver, _ = get_solver(env, "covo_online", PSTR,
+                               rng_mode=sampling.PARITY, hessian_mode=hessian_mode)
+        ctrl_r, _ = ref.envs.quadrotor.get_controller(env_r, "covo_online", PSTR)
+
+        key = jax.random.PRNGKey(42)
+        params = env.default_params
+        obs, info, state = env.reset_env(key, params)
+        obs_r, info_r, state_r = env_r.reset_env(key, env_r.default_params)
+        cp = solver.init_control_params
+        cp_r = ctrl_r.init_control_params
+
+        rng_act = jax.random.PRNGKey(3)
+        action, cp, _ = solver(obs, state, params, rng_act, cp, info)
+        action_r, cp_r, _ = ctrl_r(obs_r, state_r, env_r.default_params,
+                                   rng_act, cp_r, info_r)
+        np.testing.assert_allclose(cp.a_cov, cp_r.a_cov, atol=2e-3)
+        np.testing.assert_allclose(action, action_r, atol=1e-3)
+        np.testing.assert_allclose(cp.a_mean, cp_r.a_mean, atol=1e-3)
+
+    def test_online_multi_step(self):
+        ref = load_reference()
+        env = make_env()
+        env_r = make_ref_env()
+        solver, _ = get_solver(env, "covo_online", PSTR, rng_mode=sampling.PARITY)
+        ctrl_r, _ = ref.envs.quadrotor.get_controller(env_r, "covo_online", PSTR)
+
+        rng = jax.random.PRNGKey(1)
+        params = env.default_params
+        params_r = env_r.default_params
+        reset_key = jax.random.PRNGKey(100)
+        obs, info, state = env.reset_env(reset_key, params)
+        obs_r, info_r, state_r = env_r.reset_env(reset_key, params_r)
+        cp = solver.init_control_params
+        cp_r = ctrl_r.init_control_params
+
+        for t in range(10):
+            rng, rng_act, rng_step = jax.random.split(rng, 3)
+            action, cp, _ = solver(obs, state, params, rng_act, cp, info)
+            action_r, cp_r, _ = ctrl_r(obs_r, state_r, params_r, rng_act, cp_r, info_r)
+            np.testing.assert_allclose(action, action_r, atol=1e-3, err_msg=f"t={t}")
+            obs, state, _, _, info = env.step(rng_step, state, action, params)
+            obs_r, state_r, _, _, info_r = env_r.step(rng_step, state_r, action_r, params_r)
+            np.testing.assert_allclose(state.pos, state_r.pos, atol=1e-3)
+
+    def test_offline_schedule_and_solve(self):
+        ref = load_reference()
+        env = make_env()
+        env_r = make_ref_env()
+        solver, _ = get_solver(env, "covo_offline", PSTR, rng_mode=sampling.PARITY)
+        ctrl_r, _ = ref.envs.quadrotor.get_controller(env_r, "covo_offline", PSTR)
+
+        key = jax.random.PRNGKey(42)
+        params = env.default_params
+        obs, info, state = env.reset_env(key, params)
+        obs_r, info_r, state_r = env_r.reset_env(key, env_r.default_params)
+
+        rk = jax.random.PRNGKey(7)
+        cp = solver.reset(state, params, solver.init_control_params, rk)
+        cp_r = ctrl_r.reset(state_r, env_r.default_params,
+                            ctrl_r.init_control_params, rk)
+        # schedule parity on the early entries (error can accumulate along
+        # the PID-driven schedule state)
+        np.testing.assert_allclose(
+            cp.a_cov_offline[:10], cp_r.a_cov_offline[:10], atol=5e-3
+        )
+
+        rng_act = jax.random.PRNGKey(3)
+        action, cp, _ = solver(obs, state, params, rng_act, cp, info)
+        action_r, cp_r, _ = ctrl_r(obs_r, state_r, env_r.default_params,
+                                   rng_act, cp_r, info_r)
+        np.testing.assert_allclose(action, action_r, atol=2e-3)
