@@ -1,0 +1,107 @@
+"""Command-line entry point.
+
+Mirrors the reference CLI surface (reference: quadjax/envs/quadrotor.py:
+755-807) with argparse (tyro is not in this image):
+
+    python -m covo_mpc_tpu.cli --task tracking_zigzag --controller covo_online \
+        --controller-params N8192_H32_lam0.01 --mode eval
+
+Modes: eval (reference protocol, 40 episodes), render (recorded episode +
+dashboard PNG + .npz trace), bench (solve-latency percentiles).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+from covo_mpc_tpu.runtime.config import RunConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    for field in dataclasses.fields(RunConfig):
+        flag = "--" + field.name.replace("_", "-")
+        if field.type == "bool" or isinstance(field.default, bool):
+            p.add_argument(flag, action="store_true", default=field.default)
+        else:
+            p.add_argument(flag, type=type(field.default), default=field.default)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = RunConfig(**vars(args))
+
+    import jax
+
+    if cfg.debug:
+        jax.config.update("jax_debug_nans", True)
+
+    from covo_mpc_tpu.models import EnvConfig, QuadEnv
+    from covo_mpc_tpu.runtime import evaluate
+    from covo_mpc_tpu.runtime.checkpoint import save_eval_result
+    from covo_mpc_tpu.runtime.profiling import time_blocking
+    from covo_mpc_tpu.runtime.render import render_episode, save_trace
+    from covo_mpc_tpu.solvers import get_solver
+    from covo_mpc_tpu.utils.plotting import plot_episode, plot_eval_errors
+
+    env = QuadEnv(
+        EnvConfig(
+            task=cfg.task,
+            obs_type=cfg.obs_type,
+            enable_randomizer=not cfg.noDR,
+            lower_controller=cfg.lower_controller,
+            disturb_type=cfg.disturb_type,
+            disable_rollover_terminate=True,
+            generate_noisy_state=True,
+        )
+    )
+    solver, control_params = get_solver(
+        env,
+        cfg.controller,
+        cfg.controller_params,
+        debug=cfg.debug,
+        rng_mode=cfg.rng_mode,
+        hessian_mode=cfg.hessian_mode,
+    )
+    name = cfg.name or f"{cfg.controller}_{cfg.task}"
+    os.makedirs(cfg.results_dir, exist_ok=True)
+
+    if cfg.mode == "eval":
+        result = evaluate(env, solver, total_steps=cfg.total_steps, seed=cfg.seed)
+        print(result.summary())
+        out = save_eval_result(result, f"{cfg.results_dir}/eval_{name}.npz")
+        plot_eval_errors(result.err_pos_ep, f"{cfg.results_dir}/eval_{name}.png", name)
+        print(f"saved {out}")
+    elif cfg.mode == "render":
+        trace = render_episode(env, solver, seed=cfg.seed)
+        out = save_trace(trace, f"{cfg.results_dir}/trace_{name}.npz")
+        png = plot_episode(trace, env.default_params.dt,
+                           f"{cfg.results_dir}/render_{name}.png", name)
+        err = float(trace["err_pos"].mean())
+        print(f"mean err_pos: {err*100:.2f} cm; saved {out} and {png}")
+    elif cfg.mode == "bench":
+        import jax.numpy as jnp
+
+        obs, info, state = env.reset_env(jax.random.PRNGKey(0), env.default_params)
+
+        def solve(key):
+            action, _, _ = solver(obs, state, env.default_params, key,
+                                  solver.init_control_params, info)
+            return action
+
+        stats = time_blocking(jax.jit(solve), iters=20, warmup=2,
+                              key=jax.random.PRNGKey(1))
+        print(json.dumps({k: round(v, 6) if isinstance(v, float) else v
+                          for k, v in stats.items()}))
+    else:
+        raise SystemExit(f"unknown mode {cfg.mode!r}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -31,6 +31,15 @@ from covo_mpc_tpu.models.quad_env import QuadEnv
 from covo_mpc_tpu.models.structs import FDIST, OMEGA, POS, QUAT, VEL
 
 
+def _pvary(x, axes):
+    """Promote x to "varying" over any of `axes` it is not already varying
+    over (shard_map varying-manual-axes bookkeeping; a no-op outside
+    shard_map would be an error, so callers only pass axes when sharded)."""
+    have = getattr(jax.core.get_aval(x), "vma", frozenset())
+    need = tuple(a for a in axes if a not in have)
+    return jax.lax.pcast(x, need, to="varying") if need else x
+
+
 def _make_reward(env: QuadEnv):
     name = env.reward_name
     if name == "penyaw":
@@ -114,11 +123,11 @@ def make_rollout(env: QuadEnv):
         init_d = jnp.zeros(N, dtype=bool)
         if vary_axes:
             # Under shard_map the per-shard sampled actions are "varying"
-            # over the mesh axis while these carry inits are replicated;
+            # over the mesh axes while these carry inits are replicated;
             # promote them so the scan carry types agree (shard_map VMA).
-            x = jax.lax.pcast(x, vary_axes, to="varying")
-            init_r = jax.lax.pcast(init_r, vary_axes, to="varying")
-            init_d = jax.lax.pcast(init_d, vary_axes, to="varying")
+            x = _pvary(x, vary_axes)
+            init_r = _pvary(init_r, vary_axes)
+            init_d = _pvary(init_d, vary_axes)
 
         def step(carry, inp):
             x, r_prev, d_prev = carry

@@ -1,6 +1,21 @@
 """Harness: episode runner, eval/render protocols, configs, metrics."""
 
+from covo_mpc_tpu.runtime.config import RunConfig
 from covo_mpc_tpu.runtime.episode import make_episode_runner
 from covo_mpc_tpu.runtime.eval import EvalResult, evaluate, evaluate_batched
+from covo_mpc_tpu.runtime.metrics import MetricsLogger, sigma_metrics, solve_metrics
+from covo_mpc_tpu.runtime.render import load_trace, render_episode, save_trace
 
-__all__ = ["EvalResult", "evaluate", "evaluate_batched", "make_episode_runner"]
+__all__ = [
+    "EvalResult",
+    "MetricsLogger",
+    "RunConfig",
+    "evaluate",
+    "evaluate_batched",
+    "load_trace",
+    "make_episode_runner",
+    "render_episode",
+    "save_trace",
+    "sigma_metrics",
+    "solve_metrics",
+]

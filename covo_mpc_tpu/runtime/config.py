@@ -1,0 +1,33 @@
+"""Typed run configuration.
+
+Mirrors the reference CLI surface (reference: quadjax/envs/quadrotor.py:
+755-766) plus the TPU-native knobs (RNG mode, Hessian estimator, rollout
+engine, mesh shape). tyro is not available in this image, so the CLI
+(covo_mpc_tpu.cli) binds these dataclasses with argparse.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class RunConfig:
+    # reference-compatible fields (quadrotor.py:755-766)
+    task: str = "tracking"  # tracking | tracking_zigzag | tracking_slow | hovering
+    controller: str = "covo_online"  # pid | random | mppi | covo_online | covo_offline
+    controller_params: str = ""  # "N{N}_H{H}_lam{lam}", empty = paper defaults
+    obs_type: str = "quad"
+    debug: bool = False
+    mode: str = "eval"  # eval | render | bench
+    lower_controller: str = "base"
+    noDR: bool = False
+    disturb_type: str = "gaussian"
+    name: str = ""
+
+    # TPU-native knobs
+    rng_mode: str = "fast"  # parity | fast | invariant
+    hessian_mode: str = "fwd_rev"  # fwd_fwd (reference) | fwd_rev (cheaper)
+    total_steps: int = 300 * 4 * 10
+    seed: int = 1
+    results_dir: str = "results"

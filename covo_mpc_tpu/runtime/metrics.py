@@ -1,0 +1,63 @@
+"""Solve-quality metrics + lightweight run logging.
+
+The reference's observability is print statements and two debug fields
+(SURVEY.md §5). Here every solve can report a structured record: cost
+quantiles, effective sample size of the importance weights, and Σ
+conditioning — the quantities that tell you whether a sampling-based MPC
+is actually healthy.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+def solve_metrics(costs: jnp.ndarray, weights: jnp.ndarray) -> dict:
+    """Per-solve health metrics (all scalars, cheap to compute on device)."""
+    return {
+        "cost_min": jnp.min(costs),
+        "cost_mean": jnp.mean(costs),
+        "cost_p90": jnp.quantile(costs, 0.9),
+        # effective sample size of the exponential weights: 1 / sum(w^2);
+        # N means uniform (lambda too large), 1 means collapse (too small)
+        "ess": 1.0 / jnp.sum(weights**2),
+    }
+
+
+def sigma_metrics(a_cov: jnp.ndarray) -> dict:
+    """Conditioning of the sampling covariance (CoVO Σ health)."""
+    eigs = jnp.linalg.eigvalsh(a_cov)
+    return {
+        "sigma_cond": eigs[-1] / jnp.maximum(eigs[0], 1e-12),
+        "sigma_logdet": jnp.sum(jnp.log(jnp.maximum(eigs, 1e-12))),
+    }
+
+
+class MetricsLogger:
+    """Append-only JSONL metrics sink with wall-clock stamps."""
+
+    def __init__(self, path: Optional[str] = None):
+        self.path = path
+        self.records = []
+
+    def log(self, step: int, **values):
+        rec = {"step": step, "t": time.time()}
+        rec.update({k: float(v) for k, v in values.items()})
+        self.records.append(rec)
+        if self.path:
+            with open(self.path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+
+    def summary(self) -> dict:
+        if not self.records:
+            return {}
+        keys = [k for k in self.records[-1] if k not in ("step", "t")]
+        out = {}
+        for k in keys:
+            vals = [r[k] for r in self.records if k in r]
+            out[k] = {"mean": sum(vals) / len(vals), "last": vals[-1]}
+        return out
