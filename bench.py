@@ -67,7 +67,7 @@ def main():
         args.controller,
         pstr,
         rng_mode=sampling.FAST,
-        hessian_mode=covariance.FWD_REV,
+        hessian_mode=covariance.FWD_FWD,
         collect_debug=False,
     )
     params = env.default_params

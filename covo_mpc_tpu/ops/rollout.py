@@ -162,7 +162,7 @@ def make_rollout(env: QuadEnv):
     return rollout_costs
 
 
-def make_hessian_cost(env: QuadEnv, H: int):
+def make_hessian_cost(env: QuadEnv, H: int, unroll: int = 1):
     """Differentiable cumulative cost of one deterministic H-step rollout.
 
     ``cost(a_flat, x0, t0, pos_traj, vel_traj, params, key)`` with
@@ -223,7 +223,13 @@ def make_hessian_cost(env: QuadEnv, H: int):
             r = reward_fn(x_new, pos_traj[ti], vel_traj[ti])
             return (x_new, key), r
 
-        (_, _), rews = lax.scan(step, (x0, key), (a_seq, jnp.arange(H)))
+        # `unroll` trades compile time for removing scan overhead from the
+        # (D-wide) tangent batches that ride through this rollout under
+        # jacfwd — a large lever on TPU where the Hessian dominates the
+        # CoVO solve.
+        (_, _), rews = lax.scan(
+            step, (x0, key), (a_seq, jnp.arange(H)), unroll=unroll
+        )
         # rews[h] = reward(s_{h+1}); the reference sums reward(s_1..s_{H-1})
         # plus constants, so drop the last entry.
         return -jnp.sum(rews[:-1])

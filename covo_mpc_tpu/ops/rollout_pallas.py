@@ -1,0 +1,300 @@
+"""Fused Pallas-TPU rollout kernel.
+
+One kernel = the whole MPC rollout hot loop: H dynamics steps + reward +
+termination-freeze + discounted cost accumulation for a tile of samples,
+with ALL state resident in vector registers / VMEM. The jnp engine
+(ops/rollout.py) round-trips the (N, 16) carry through XLA's scan plumbing
+32 times per solve; here HBM traffic is exactly one read of the action
+tensor and one write of the (N,) costs.
+
+Layout strategy
+---------------
+Samples live on the VPU grid: a tile holds (8 sublanes x LANES) samples,
+and every one of the 13 per-sample state components (pos 3, quat 4, vel 3,
+omega 3) is an (8, LANES) slab — every VPU op is a full-tile op. Actions
+are pre-arranged once by XLA to (H, 4, 8, N/8) so each step's load is an
+aligned (8, LANES) slab. Everything shared across samples — targets,
+disturbance, physics constants, the episode clock — is a scalar in SMEM.
+
+The disturbance table trick: all rollout samples share the start state and
+the reference reuses ONE step key for every sample and step (reference:
+quadjax/controllers/mppi.py:69-74), so for every disturb type except
+"drag" the force disturbance is state-independent and precomputes to an
+(H, 3) table outside the kernel ("drag" depends on per-sample velocity and
+falls back to the jnp engine). f_disturb therefore never occupies
+per-sample registers.
+
+Semantics match ops/rollout.py `rollout_costs` exactly (pre-step rewards,
+reward freezing on termination, pre-update-velocity position integration,
+reference quirks and all); equivalence is pinned by
+tests/test_pallas_rollout.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from covo_mpc_tpu.models import dynamics
+from covo_mpc_tpu.models.quad_env import QuadEnv
+from covo_mpc_tpu.models.structs import FDIST
+
+SUB = 8  # VPU sublanes: samples per tile row
+# scalar-pack layout (f32 SMEM)
+_M, _G, _DT, _ALPHA, _ASCALE, _MAX_THRUST, _MO0, _MO1, _MO2, _DISCOUNT = range(10)
+
+
+def _supported(env: QuadEnv) -> bool:
+    return env.config.disturb_type != "drag" and env.config.disturb_type != "mixed"
+
+
+def build_disturb_table(env: QuadEnv, x0, t0, params, step_key, deterministic, H):
+    """(H, 3) table: the f_disturb in effect during step h.
+
+    Step 0 integrates with the start state's own disturbance; step h >= 1
+    with the value the disturbance model produced at time t0 + h - 1
+    (reference: free.py:147 updates AFTER integrating).
+    """
+    dtype = env.config.disturb_type
+    params = params.replace(
+        dyn_noise_scale=params.dyn_noise_scale * (1.0 - deterministic)
+    )
+    disturb_key = dynamics.derive_dynamics_keys(step_key)
+    f0 = x0[FDIST]
+    disturb_fn = env.disturb_fn
+
+    if dtype in ("gaussian", "none"):
+        # one shared draw, constant across steps (key reuse quirk)
+        d = disturb_fn(disturb_key, params, t0, None, jnp.zeros(3))
+        rest = jnp.broadcast_to(d, (H - 1, 3))
+        return jnp.concatenate([f0[None], rest], axis=0)
+
+    # periodic / sin: state-independent recurrence over the shared clock
+    def step(f_prev, h):
+        f = disturb_fn(disturb_key, params, t0 + h, None, f_prev)
+        return f, f
+    _, fs = jax.lax.scan(step, f0, jnp.arange(H - 1))
+    return jnp.concatenate([f0[None], fs], axis=0)
+
+
+def _rollout_kernel(
+    # SMEM
+    x0_ref,  # (16,) f32
+    scal_ref,  # (10,) f32, see _M.._DISCOUNT
+    int_ref,  # (2,) i32: [t0, max_steps]
+    ptar_ref,  # (H*3,) f32
+    vtar_ref,  # (H*3,) f32
+    dist_ref,  # (H*3,) f32
+    # VMEM
+    act_ref,  # (H, 4, SUB, LB) f32
+    cost_ref,  # (SUB, LB) f32 out
+    *,
+    H: int,
+    reward_name: str,
+    check_rollover: bool,
+):
+    shape = cost_ref.shape
+    m = scal_ref[_M]
+    g = scal_ref[_G]
+    dt = scal_ref[_DT]
+    alpha = scal_ref[_ALPHA]
+    ascale = scal_ref[_ASCALE]
+    max_thrust = scal_ref[_MAX_THRUST]
+    mo = (scal_ref[_MO0], scal_ref[_MO1], scal_ref[_MO2])
+    discount = scal_ref[_DISCOUNT]
+    t0 = int_ref[0]
+    max_steps = int_ref[1]
+
+    def bc(s):  # broadcast scalar to the sample tile
+        return jnp.full(shape, s, dtype=jnp.float32)
+
+    px, py, pz = bc(x0_ref[0]), bc(x0_ref[1]), bc(x0_ref[2])
+    qx, qy, qz, qw = bc(x0_ref[3]), bc(x0_ref[4]), bc(x0_ref[5]), bc(x0_ref[6])
+    vx, vy, vz = bc(x0_ref[7]), bc(x0_ref[8]), bc(x0_ref[9])
+    wx, wy, wz = bc(x0_ref[10]), bc(x0_ref[11]), bc(x0_ref[12])
+
+    cost = jnp.zeros(shape, dtype=jnp.float32)
+    r_prev = jnp.zeros(shape, dtype=jnp.float32)
+    d_prev = jnp.zeros(shape, dtype=jnp.bool_)
+    disc = jnp.float32(1.0)
+
+    for h in range(H):
+        ptx, pty, ptz = ptar_ref[3 * h], ptar_ref[3 * h + 1], ptar_ref[3 * h + 2]
+        fdx, fdy, fdz = dist_ref[3 * h], dist_ref[3 * h + 1], dist_ref[3 * h + 2]
+
+        # ---- reward on the PRE-step state (reference: quadrotor.py:243)
+        ex, ey, ez = ptx - px, pty - py, ptz - pz
+        err_pos = jnp.sqrt(ex * ex + ey * ey + ez * ez)
+        if reward_name == "penyaw":
+            vtx, vty, vtz = (
+                vtar_ref[3 * h], vtar_ref[3 * h + 1], vtar_ref[3 * h + 2]
+            )
+            evx, evy, evz = vtx - vx, vty - vy, vtz - vz
+            err_vel = jnp.sqrt(evx * evx + evy * evy + evz * evz)
+            yaw = jnp.arctan2(
+                2.0 * (qw * qz + qx * qy), 1.0 - 2.0 * (qy * qy + qz * qz)
+            )
+            log1p = jnp.log(err_pos + 1.0)
+            logpos = (
+                err_pos * 0.4
+                + jnp.clip(log1p * 4.0, 0.0, 1.0) * 0.4
+                + jnp.clip(log1p * 8.0, 0.0, 1.0) * 0.2
+                + jnp.clip(log1p * 16.0, 0.0, 1.0) * 0.1
+                + jnp.clip(log1p * 32.0, 0.0, 1.0) * 0.1
+            )
+            r = 1.3 - 0.05 * err_vel - logpos - jnp.abs(yaw) * 0.2
+        else:  # realworld quadratic cost
+            pos_err = (ex * ex + ey * ey + ez * ez) / 3.0
+            quat_err = 1.0 - qw * qw
+            r = -(5.0 * pos_err + 3.0 * quat_err) * 0.02
+
+        r = jnp.where(d_prev, r_prev, r)
+        r_prev = r
+        cost = cost - disc * r  # cost = -discounted reward sum
+        disc = disc * discount
+
+        # ---- termination on the pre-step state (reference: quadrotor.py:479-490)
+        d_now = (
+            (jnp.abs(px) > 3.0) | (jnp.abs(py) > 3.0) | (jnp.abs(pz) > 3.0)
+        )
+        if check_rollover:
+            d_now = d_now | (qw < 0.70710678) | (
+                (jnp.abs(wx) > 100.0) | (jnp.abs(wy) > 100.0) | (jnp.abs(wz) > 100.0)
+            )
+        time_up = (t0 + h) >= max_steps  # scalar, broadcasts
+        d_prev = d_prev | d_now | time_up
+
+        # ---- dynamics (reference: free.py:75-112)
+        a0 = jnp.clip(act_ref[h, 0], -1.0, 1.0)
+        a1 = jnp.clip(act_ref[h, 1], -1.0, 1.0)
+        a2 = jnp.clip(act_ref[h, 2], -1.0, 1.0)
+        a3 = jnp.clip(act_ref[h, 3], -1.0, 1.0)
+        thrust = (a0 + 1.0) * 0.5 * max_thrust * ascale
+        wtx = a1 * mo[0] * ascale
+        wty = a2 * mo[1] * ascale
+        wtz = a3 * mo[2] * ascale
+
+        # entry-normalize the quaternion (reference: free.py:88)
+        qn = jax.lax.rsqrt(qx * qx + qy * qy + qz * qz + qw * qw)
+        qx, qy, qz, qw = qx * qn, qy * qn, qz * qn, qw * qn
+
+        # body z-axis in world frame (third column of R)
+        bzx = 2.0 * (qx * qz + qw * qy)
+        bzy = 2.0 * (qy * qz - qw * qx)
+        bzz = qw * qw - qx * qx - qy * qy + qz * qz
+
+        inv_m = 1.0 / m
+        # position BEFORE velocity update (Euler, pre-update v)
+        px = px + vx * dt
+        py = py + vy * dt
+        pz = pz + vz * dt
+        vx = vx + (bzx * thrust + fdx) * inv_m * dt
+        vy = vy + (bzy * thrust + fdy) * inv_m * dt
+        vz = vz + ((bzz * thrust + fdz) * inv_m - g) * dt
+
+        # quaternion kinematics: q += dt * 0.5 * q x (omega, 0), renormalize
+        qdx = 0.5 * (qw * wx + qy * wz - qz * wy)
+        qdy = 0.5 * (qw * wy + qz * wx - qx * wz)
+        qdz = 0.5 * (qw * wz + qx * wy - qy * wx)
+        qdw = 0.5 * (-qx * wx - qy * wy - qz * wz)
+        qx = qx + dt * qdx
+        qy = qy + dt * qdy
+        qz = qz + dt * qdz
+        qw = qw + dt * qdw
+        qn = jax.lax.rsqrt(qx * qx + qy * qy + qz * qz + qw * qw)
+        qx, qy, qz, qw = qx * qn, qy * qn, qz * qn, qw * qn
+
+        # first-order bodyrate lag
+        wx = alpha * wx + (1.0 - alpha) * wtx
+        wy = alpha * wy + (1.0 - alpha) * wty
+        wz = alpha * wz + (1.0 - alpha) * wtz
+
+    cost_ref[:, :] = cost
+
+
+def make_pallas_rollout(env: QuadEnv, interpret: bool = False):
+    """Build the fused rollout-cost engine. Same contract as
+    ops.rollout.make_rollout's `rollout_costs` (fast path: no pose
+    collection, no shard_map vma plumbing).
+
+    Requires N % 1024 == 0 (tile alignment) and a state-independent
+    disturbance model (everything except "drag"/"mixed").
+    """
+    if not _supported(env):
+        raise NotImplementedError(
+            f"disturb_type {env.config.disturb_type!r} is velocity-dependent; "
+            "use the jnp rollout engine"
+        )
+    reward_name = env.reward_name
+    check_rollover = not env.config.disable_rollover_terminate
+    dt = env._dt
+
+    def rollout_costs(
+        x0, t0, pos_traj, vel_traj, actions, params, step_key,
+        deterministic: bool = False, discount=1.0, collect_poses: bool = False,
+    ):
+        if collect_poses:
+            raise NotImplementedError("pallas engine does not collect poses")
+        N, H, dA = actions.shape
+        assert dA == 4 and N % (SUB * 128) == 0, (N, H, dA)
+        lanes = N // SUB
+        LB = min(512, lanes)
+
+        T = pos_traj.shape[0]
+        idx = jnp.clip(t0 + jnp.arange(H), 0, T - 1)
+        ptar = pos_traj[idx].reshape(-1)
+        vtar = vel_traj[idx].reshape(-1)
+        dist = build_disturb_table(
+            env, x0, t0, params, step_key, deterministic, H
+        ).reshape(-1)
+
+        scal = jnp.stack(
+            [
+                params.m, params.g, jnp.float32(dt), params.alpha_bodyrate,
+                params.action_scale, params.max_thrust,
+                params.max_omega[0], params.max_omega[1], params.max_omega[2],
+                jnp.float32(discount),
+            ]
+        ).astype(jnp.float32)
+        ints = jnp.array([t0, params.max_steps_in_episode], dtype=jnp.int32)
+
+        # (N, H, 4) -> (H, 4, SUB, lanes); sample n sits at
+        # (sub, lane) = divmod-free n = sub * lanes + lane
+        acts = actions.transpose(1, 2, 0).reshape(H, dA, SUB, lanes)
+
+        kernel = functools.partial(
+            _rollout_kernel,
+            H=H,
+            reward_name=reward_name,
+            check_rollover=check_rollover,
+        )
+        costs2d = pl.pallas_call(
+            kernel,
+            grid=(lanes // LB,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # x0
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # ints
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # ptar
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # vtar
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # dist
+                pl.BlockSpec(
+                    (H, dA, SUB, LB),
+                    lambda i: (0, 0, 0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (SUB, LB), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((SUB, lanes), jnp.float32),
+            interpret=interpret,
+        )(x0[:16], scal, ints, ptar, vtar, dist, acts)
+
+        return costs2d.reshape(N), None
+
+    return rollout_costs

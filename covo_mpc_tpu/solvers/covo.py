@@ -57,6 +57,8 @@ class CoVOSolver(BaseSolver):
         rng_mode: str = sampling.PARITY,
         hessian_mode: str = covariance.FWD_FWD,
         collect_debug: bool = True,
+        engine: str = "jnp",
+        hessian_unroll: int = 1,
     ) -> None:
         super().__init__(env, control_params)
         if mode not in ("online", "offline"):
@@ -70,9 +72,20 @@ class CoVOSolver(BaseSolver):
         self.action_dim = env.action_dim
         self.D = H * env.action_dim
 
-        self.rollout = make_rollout(env)
+        if engine in ("pallas", "pallas_interpret"):
+            from covo_mpc_tpu.ops.rollout_pallas import make_pallas_rollout
+
+            if collect_debug:
+                raise ValueError("pallas engine requires collect_debug=False")
+            self.rollout = make_pallas_rollout(
+                env, interpret=(engine == "pallas_interpret")
+            )
+        elif engine == "jnp":
+            self.rollout = make_rollout(env)
+        else:
+            raise ValueError(f"unknown engine {engine!r}")
         self._hessian = covariance.make_hessian(
-            make_hessian_cost(env, H), mode=hessian_mode
+            make_hessian_cost(env, H, unroll=hessian_unroll), mode=hessian_mode
         )
         if mode == "offline":
             # PID expansion policy for the offline schedule

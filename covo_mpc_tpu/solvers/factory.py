@@ -46,6 +46,7 @@ def get_solver(
     rng_mode: str = sampling.PARITY,
     hessian_mode: str = covariance.FWD_FWD,
     collect_debug: bool = True,
+    engine: str = "jnp",
 ):
     """Build (solver, control_params) by name (reference: quadrotor.py:670-752).
 
@@ -78,7 +79,7 @@ def get_solver(
         )
         solver = MPPISolver(
             env, params, N=N, H=H, lam=lam, rng_mode=rng_mode,
-            collect_debug=collect_debug,
+            collect_debug=collect_debug, engine=engine,
         )
         return solver, params
     if "covo" in name:
@@ -96,6 +97,7 @@ def get_solver(
         solver = CoVOSolver(
             env, params, N=N, H=H, lam=lam, mode=mode, rng_mode=rng_mode,
             hessian_mode=hessian_mode, collect_debug=collect_debug,
+            engine=engine,
         )
         return solver, params
     raise NotImplementedError(f"unknown controller {name!r}")

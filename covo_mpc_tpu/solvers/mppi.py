@@ -47,6 +47,7 @@ class MPPISolver(BaseSolver):
         lam: float,
         rng_mode: str = sampling.PARITY,
         collect_debug: bool = True,
+        engine: str = "jnp",
     ) -> None:
         super().__init__(env, control_params)
         self.N = N
@@ -54,7 +55,18 @@ class MPPISolver(BaseSolver):
         self.lam = lam
         self.rng_mode = rng_mode
         self.collect_debug = collect_debug
-        self.rollout = make_rollout(env)
+        if engine in ("pallas", "pallas_interpret"):
+            from covo_mpc_tpu.ops.rollout_pallas import make_pallas_rollout
+
+            if collect_debug:
+                raise ValueError("pallas engine requires collect_debug=False")
+            self.rollout = make_pallas_rollout(
+                env, interpret=(engine == "pallas_interpret")
+            )
+        elif engine == "jnp":
+            self.rollout = make_rollout(env)
+        else:
+            raise ValueError(f"unknown engine {engine!r}")
 
     @partial(jax.jit, static_argnums=(0,))
     def __call__(self, obs, env_state, env_params, rng_act, control_params, info=None):

@@ -1,0 +1,126 @@
+"""Pallas fused rollout kernel vs the jnp reference engine.
+
+Runs in interpreter mode on CPU (tests); the compiled path is exercised by
+bench.py on hardware.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from covo_mpc_tpu.models import EnvConfig, QuadEnv, pack_state
+from covo_mpc_tpu.ops.rollout import make_rollout
+from covo_mpc_tpu.ops.rollout_pallas import build_disturb_table, make_pallas_rollout
+
+N, H = 1024, 8
+
+
+def make_env(**kw):
+    cfg = dict(
+        task="tracking",
+        enable_randomizer=False,
+        disturb_type="gaussian",
+        disable_rollover_terminate=True,
+        generate_noisy_state=True,
+    )
+    cfg.update(kw)
+    return QuadEnv(EnvConfig(**cfg))
+
+
+def _setup(env, seed=0):
+    params = env.default_params
+    _, info, state = env.reset_env(jax.random.PRNGKey(seed), params)
+    noisy = info["noisy_state"]
+    x0 = pack_state(noisy)
+    actions = (
+        jax.random.normal(jax.random.PRNGKey(seed + 1), (N, H, 4)) * 0.4
+    )
+    return params, noisy, x0, actions
+
+
+@pytest.mark.parametrize(
+    "env_kw,deterministic",
+    [
+        (dict(disturb_type="gaussian"), False),
+        (dict(disturb_type="gaussian"), True),
+        (dict(disturb_type="none"), False),
+        (dict(disturb_type="periodic"), False),
+        (dict(disturb_type="sin"), False),
+        (dict(task="tracking_slow", disturb_type="gaussian"), False),
+        (dict(disturb_type="gaussian", disable_rollover_terminate=False), False),
+    ],
+)
+def test_matches_jnp_engine(env_kw, deterministic):
+    env = make_env(**env_kw)
+    params, state, x0, actions = _setup(env)
+    jnp_engine = make_rollout(env)
+    pallas_engine = make_pallas_rollout(env, interpret=True)
+
+    key = jax.random.PRNGKey(3)
+    ref, _ = jnp_engine(
+        x0, state.time, state.pos_traj, state.vel_traj, actions, params, key,
+        deterministic=deterministic, discount=0.99,
+    )
+    got, _ = pallas_engine(
+        x0, state.time, state.pos_traj, state.vel_traj, actions, params, key,
+        deterministic=deterministic, discount=0.99,
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-5)
+
+
+def test_termination_freeze_matches():
+    """Samples that fly out of |pos|>3 must freeze rewards identically."""
+    env = make_env()
+    params, state, x0, _ = _setup(env)
+    # huge actions push some samples out of bounds within the horizon
+    actions = jnp.concatenate(
+        [
+            jnp.ones((N // 2, H, 4)),
+            jax.random.normal(jax.random.PRNGKey(5), (N // 2, H, 4)) * 0.3,
+        ]
+    )
+    x0 = x0.at[7:10].set(jnp.array([7.0, 0.0, 0.0]))  # already fast
+    jnp_engine = make_rollout(env)
+    pallas_engine = make_pallas_rollout(env, interpret=True)
+    key = jax.random.PRNGKey(3)
+    ref, _ = jnp_engine(
+        x0, state.time, state.pos_traj, state.vel_traj, actions, params, key
+    )
+    got, _ = pallas_engine(
+        x0, state.time, state.pos_traj, state.vel_traj, actions, params, key
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-5)
+
+
+def test_time_limit_freeze():
+    """Rollouts that cross the episode end freeze on the time criterion."""
+    env = make_env()
+    params, state, x0, actions = _setup(env)
+    t0 = params.max_steps_in_episode - 3  # horizon crosses the limit
+    jnp_engine = make_rollout(env)
+    pallas_engine = make_pallas_rollout(env, interpret=True)
+    key = jax.random.PRNGKey(3)
+    ref, _ = jnp_engine(
+        x0, t0, state.pos_traj, state.vel_traj, actions, params, key
+    )
+    got, _ = pallas_engine(
+        x0, t0, state.pos_traj, state.vel_traj, actions, params, key
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-5)
+
+
+def test_disturb_table_matches_rollout_semantics():
+    """Table[h] must equal the f_disturb the jnp engine integrates with."""
+    env = make_env(disturb_type="periodic")
+    params, state, x0, _ = _setup(env)
+    key = jax.random.PRNGKey(3)
+    table = build_disturb_table(env, x0, state.time, params, key, False, H)
+    assert table.shape == (H, 3)
+    np.testing.assert_allclose(table[0], x0[13:16], atol=1e-7)
+
+
+def test_drag_unsupported():
+    env = make_env(disturb_type="drag")
+    with pytest.raises(NotImplementedError):
+        make_pallas_rollout(env)
