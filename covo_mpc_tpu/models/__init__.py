@@ -1,7 +1,8 @@
 """Physics core: structs, rotation math, dynamics, trajectories, rewards, env."""
 
-from covo_mpc_tpu.models import dynamics, rewards, rotation, trajectory
+from covo_mpc_tpu.models import dynamics, misc, rewards, rotation, trajectory
 from covo_mpc_tpu.models.quad_env import EnvConfig, QuadEnv
+from covo_mpc_tpu.models.wrappers import LogEnvState, LogWrapper
 from covo_mpc_tpu.models.structs import (
     PACKED_STATE_DIM,
     Action3D,
@@ -17,6 +18,9 @@ __all__ = [
     "EnvConfig",
     "EnvParams3D",
     "EnvState3D",
+    "LogEnvState",
+    "LogWrapper",
+    "misc",
     "PACKED_STATE_DIM",
     "QuadEnv",
     "default_array",
