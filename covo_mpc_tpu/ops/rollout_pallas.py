@@ -44,6 +44,32 @@ from covo_mpc_tpu.models.quad_env import QuadEnv
 from covo_mpc_tpu.models.structs import FDIST
 
 SUB = 8  # VPU sublanes: samples per tile row
+
+
+def _atan2(y, x):
+    """Elementwise atan2 for the Pallas TPU backend (no native lowering).
+
+    Octant range reduction + a degree-11 odd minimax polynomial for atan on
+    [0, 1]; max abs error ~2e-7 vs the libm atan2 (pinned by
+    tests/test_pallas_rollout.py), far inside the 2e-4 cost-parity budget.
+    """
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    amin = jnp.minimum(ax, ay)
+    amax = jnp.maximum(ax, ay)
+    a = amin / jnp.maximum(amax, 1e-30)
+    s = a * a
+    # minimax coefficients for atan(a), a in [0,1] (odd powers)
+    r = jnp.float32(-0.0117212)
+    r = r * s + jnp.float32(0.05265332)
+    r = r * s + jnp.float32(-0.11643287)
+    r = r * s + jnp.float32(0.19354346)
+    r = r * s + jnp.float32(-0.33262348)
+    r = r * s + jnp.float32(0.99997726)
+    r = r * a
+    pi = jnp.float32(3.14159265358979)
+    r = jnp.where(ay > ax, pi / 2 - r, r)
+    r = jnp.where(x < 0, pi - r, r)
+    return jnp.where(y < 0, -r, r)
 # scalar-pack layout (f32 SMEM)
 _M, _G, _DT, _ALPHA, _ASCALE, _MAX_THRUST, _MO0, _MO1, _MO2, _DISCOUNT = range(10)
 
@@ -135,7 +161,7 @@ def _rollout_kernel(
             )
             evx, evy, evz = vtx - vx, vty - vy, vtz - vz
             err_vel = jnp.sqrt(evx * evx + evy * evy + evz * evz)
-            yaw = jnp.arctan2(
+            yaw = _atan2(
                 2.0 * (qw * qz + qx * qy), 1.0 - 2.0 * (qy * qy + qz * qz)
             )
             log1p = jnp.log(err_pos + 1.0)

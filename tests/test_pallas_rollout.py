@@ -124,3 +124,15 @@ def test_drag_unsupported():
     env = make_env(disturb_type="drag")
     with pytest.raises(NotImplementedError):
         make_pallas_rollout(env)
+
+
+def test_atan2_polynomial_accuracy():
+    """In-kernel atan2 must track libm to ~1e-5 over the yaw domain."""
+    from covo_mpc_tpu.ops.rollout_pallas import _atan2
+
+    key = jax.random.PRNGKey(0)
+    y = jax.random.uniform(key, (4096,), minval=-1.0, maxval=1.0)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4096,), minval=-1.0, maxval=1.0)
+    got = _atan2(y, x)
+    ref = jnp.arctan2(y, x)
+    assert float(jnp.max(jnp.abs(got - ref))) < 2e-5
