@@ -84,9 +84,14 @@ class CoVOSolver(BaseSolver):
             self.rollout = make_rollout(env)
         else:
             raise ValueError(f"unknown engine {engine!r}")
-        self._hessian = covariance.make_hessian(
-            make_hessian_cost(env, H, unroll=hessian_unroll), mode=hessian_mode
-        )
+        if hessian_mode == "sensitivity":
+            from covo_mpc_tpu.ops.hessian import make_hessian_sensitivity
+
+            self._hessian = make_hessian_sensitivity(env, H)
+        else:
+            self._hessian = covariance.make_hessian(
+                make_hessian_cost(env, H, unroll=hessian_unroll), mode=hessian_mode
+            )
         if mode == "offline":
             # PID expansion policy for the offline schedule
             # (reference: covo.py:48-56)

@@ -184,3 +184,76 @@ class TestSolveParity:
         action_r, cp_r, _ = ctrl_r(obs_r, state_r, env_r.default_params,
                                    rng_act, cp_r, info_r)
         np.testing.assert_allclose(action, action_r, atol=2e-3)
+
+
+class TestSensitivityHessian:
+    """Second-order sensitivity propagation == nested-jacfwd Hessian."""
+
+    @pytest.mark.parametrize("disturb", ["gaussian", "none", "periodic", "sin"])
+    def test_matches_autodiff(self, disturb):
+        env = QuadEnv(
+            EnvConfig(
+                task="tracking", enable_randomizer=False, disturb_type=disturb,
+                disable_rollover_terminate=True, generate_noisy_state=True,
+            )
+        )
+        from covo_mpc_tpu.ops.hessian import make_hessian_sensitivity
+
+        _, info, state = env.reset_env(jax.random.PRNGKey(11), env.default_params)
+        noisy = info["noisy_state"]
+        x0 = pack_state(noisy)
+        a_mean = jax.random.normal(jax.random.PRNGKey(7), (H, 4)) * 0.3
+        key = jax.random.PRNGKey(9)
+        args = (x0, noisy.time, noisy.pos_traj, noisy.vel_traj,
+                env.default_params, key)
+
+        R_ad = covariance.make_hessian(
+            make_hessian_cost(env, H), covariance.FWD_FWD
+        )(a_mean.flatten(), *args)
+        R_sens = make_hessian_sensitivity(env, H)(a_mean.flatten(), *args)
+        np.testing.assert_allclose(R_sens, R_ad, atol=5e-4, rtol=1e-3)
+
+    def test_realworld_reward(self):
+        env = QuadEnv(
+            EnvConfig(
+                task="tracking_slow", enable_randomizer=False,
+                disturb_type="gaussian", disable_rollover_terminate=True,
+                generate_noisy_state=True,
+            )
+        )
+        from covo_mpc_tpu.ops.hessian import make_hessian_sensitivity
+
+        _, info, state = env.reset_env(jax.random.PRNGKey(1), env.default_params)
+        noisy = info["noisy_state"]
+        x0 = pack_state(noisy)
+        a_mean = jax.random.normal(jax.random.PRNGKey(2), (H, 4)) * 0.3
+        args = (x0, noisy.time, noisy.pos_traj, noisy.vel_traj,
+                env.default_params, jax.random.PRNGKey(3))
+        R_ad = covariance.make_hessian(
+            make_hessian_cost(env, H), covariance.FWD_FWD
+        )(a_mean.flatten(), *args)
+        R_sens = make_hessian_sensitivity(env, H)(a_mean.flatten(), *args)
+        np.testing.assert_allclose(R_sens, R_ad, atol=5e-4, rtol=1e-3)
+
+    def test_solver_end_to_end(self):
+        env = QuadEnv(
+            EnvConfig(
+                task="tracking", enable_randomizer=False, disturb_type="gaussian",
+                disable_rollover_terminate=True, generate_noisy_state=True,
+            )
+        )
+        solver_s, _ = get_solver(env, "covo_online", PSTR,
+                                 rng_mode=sampling.FAST, hessian_mode="sensitivity")
+        solver_a, _ = get_solver(env, "covo_online", PSTR,
+                                 rng_mode=sampling.FAST,
+                                 hessian_mode=covariance.FWD_FWD)
+        key = jax.random.PRNGKey(42)
+        params = env.default_params
+        obs, info, state = env.reset_env(key, params)
+        rng = jax.random.PRNGKey(3)
+        a1, cp1, _ = solver_s(obs, state, params, rng,
+                              solver_s.init_control_params, info)
+        a2, cp2, _ = solver_a(obs, state, params, rng,
+                              solver_a.init_control_params, info)
+        np.testing.assert_allclose(a1, a2, atol=1e-3)
+        np.testing.assert_allclose(cp1.a_cov, cp2.a_cov, atol=1e-3)
