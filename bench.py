@@ -105,7 +105,7 @@ def main():
     def bench_one(controller, engine):
         solver, cp = get_solver(
             env, controller, pstr, rng_mode=sampling.FAST,
-            hessian_mode=covariance.FWD_FWD, collect_debug=False,
+            hessian_mode="adjoint", collect_debug=False,
             engine=engine,
         )
         per_solve, overhead = measure_solve_rate(

@@ -173,3 +173,96 @@ def make_hessian_sensitivity(env: QuadEnv, H: int):
         return -Hacc  # cost = -reward sum
 
     return hessian
+
+
+def make_hessian_adjoint(env: QuadEnv, H: int):
+    """Exact Hessian via the second-order adjoint (costate) identity.
+
+    With z_h = (s_h, a_h), g_h(z) = r(f(z)) and C = Σ_h g_h(z_h), the exact
+    Hessian factorizes as
+
+        ∇²C = Σ_h T_hᵀ [ ∇²g_h + Σ_k μ_{h,k} ∂²f_k/∂z² ] T_h
+
+    where T_h = d z_h / d a = [S1_h; E_h] needs only FIRST-order forward
+    sensitivities and μ is a 13-dim costate from one backward scan
+    (μ_j = w_{j+1} + A_{j+1}ᵀ μ_{j+1}, w = ∂g/∂s) that absorbs every
+    second-order cross-step term the sensitivity method carries as a
+    (13, D, D) tensor. Sequential work shrinks to three 13-wide scans;
+    local derivatives batch over the horizon with vmap; the final
+    contraction is one (H,17,D)-shaped einsum pair.
+
+    Same matrix as jacfwd(jacfwd(cost)) to fp rounding (tests/test_covo.py).
+    """
+    if env.config.disturb_type in ("drag", "mixed"):
+        raise NotImplementedError(
+            "velocity-dependent disturbance couples into the sensitivity "
+            "state; use the autodiff Hessian estimators"
+        )
+    reward_name = env.reward_name
+    dt = env._dt
+    dA = env.action_dim
+    D = H * dA
+
+    def hessian(a_flat, x0, t0, pos_traj, vel_traj, params, key):
+        a_seq = a_flat.reshape(H, dA)
+        T_traj = pos_traj.shape[0]
+        dist = build_hessian_disturb_table(env, x0, t0, params, key, H)
+        idx = jnp.clip(t0 + 1 + jnp.arange(H), 0, T_traj - 1)
+        ptars = pos_traj[idx]
+        vtars = vel_traj[idx]
+
+        step_z = lambda z, fd: _step13(z[:_SD], z[_SD:], fd, params, dt)
+        rew = lambda s, pt, vt: _reward13(s, pt, vt, reward_name)
+
+        # 1) primal rollout, collecting z_h = (s_h, a_h)
+        def prim(s, inp):
+            a, fd = inp
+            z = jnp.concatenate([s, a])
+            return step_z(z, fd), z
+
+        _, zs = lax.scan(prim, x0[:_SD], (a_seq, dist), unroll=True)  # (H, 17)
+
+        # 2) local derivatives, batched over the horizon
+        def local_derivs(z, fd, pt, vt):
+            f = lambda zz: step_z(zz, fd)
+            J = jax.jacfwd(f)(z)  # (13, 17) = [A | B]
+            Hf = jax.jacfwd(jax.jacfwd(f))(z)  # (13, 17, 17)
+            g = lambda zz: rew(f(zz), pt, vt)
+            return J, Hf, jax.grad(g)(z), jax.hessian(g)(z)
+
+        J, Hf, grad_g, hess_g = jax.vmap(local_derivs)(zs, dist, ptars, vtars)
+        # the last step's reward is constant-trimmed (see make_hessian_cost)
+        mask = (jnp.arange(H) < H - 1).astype(jnp.float32)
+        grad_g = grad_g * mask[:, None]
+        hess_g = hess_g * mask[:, None, None]
+
+        # 3) forward first-order sensitivities: T_h = [S1_h; E_h]
+        def fwd(S1, inp):
+            J_h, h = inp
+            E = lax.dynamic_update_slice(
+                jnp.zeros((dA, D)), jnp.eye(dA), (0, h * dA)
+            )
+            T_h = jnp.concatenate([S1, E], axis=0)  # (17, D)
+            return J_h @ T_h, T_h
+
+        _, T = lax.scan(fwd, jnp.zeros((_SD, D)), (J, jnp.arange(H)), unroll=True)  # (H,17,D)
+
+        # 4) backward costate: mu_j = w_{j+1} + A_{j+1}^T mu_{j+1}
+        A_next = J[1:, :, :_SD][::-1]  # A_{j+1} for j = H-2..0
+        w_next = grad_g[1:, :_SD][::-1]
+
+        def bwd(mu, inp):
+            A, w = inp
+            mu = w + A.T @ mu
+            return mu, mu
+
+        _, mus_rev = lax.scan(bwd, jnp.zeros(_SD), (A_next, w_next), unroll=True)
+        mus = jnp.concatenate([mus_rev[::-1], jnp.zeros((1, _SD))], axis=0)
+
+        # 5) per-step quadratic forms, 6) pull back and sum
+        M = hess_g + jnp.einsum("hk,hkuv->huv", mus, Hf)  # (H, 17, 17)
+        MT = jnp.einsum("huv,hvx->hux", M, T)  # (H, 17, D)
+        Hess = jnp.einsum("hux,huy->xy", T, MT)  # (D, D)
+        return -Hess
+
+    return hessian

@@ -88,6 +88,10 @@ class CoVOSolver(BaseSolver):
             from covo_mpc_tpu.ops.hessian import make_hessian_sensitivity
 
             self._hessian = make_hessian_sensitivity(env, H)
+        elif hessian_mode == "adjoint":
+            from covo_mpc_tpu.ops.hessian import make_hessian_adjoint
+
+            self._hessian = make_hessian_adjoint(env, H)
         else:
             self._hessian = covariance.make_hessian(
                 make_hessian_cost(env, H, unroll=hessian_unroll), mode=hessian_mode

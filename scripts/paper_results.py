@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Reproduce the paper's headline comparison on TPU.
+
+Runs the reference evaluation protocol (40 episodes = 4 fixed trajectories
+x 10 reps, tracking error in cm; reference: quadjax/envs/quadrotor.py:
+506-591, scripts/covo_quadrotor.sh) for PID / MPPI / CoVO-online /
+CoVO-offline on tracking_zigzag without domain randomization, and writes
+RESULTS.md. The paper (arXiv:2401.07369) reports CoVO beating MPPI by
+43-54% on tracking cost.
+
+Usage: python scripts/paper_results.py [--n 8192] [--h 32] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8192)
+    ap.add_argument("--h", type=int, default=32)
+    ap.add_argument("--task", default="tracking_zigzag")
+    ap.add_argument("--quick", action="store_true",
+                    help="1 rep per trajectory instead of 10")
+    ap.add_argument("--out", default="RESULTS.md")
+    ap.add_argument("--controllers", nargs="+",
+                    default=["pid", "mppi", "covo_online", "covo_offline"])
+    args = ap.parse_args()
+
+    import jax
+
+    from covo_mpc_tpu.models import EnvConfig, QuadEnv
+    from covo_mpc_tpu.ops import sampling
+    from covo_mpc_tpu.runtime import evaluate
+    from covo_mpc_tpu.solvers import get_solver
+
+    env = QuadEnv(
+        EnvConfig(
+            task=args.task,
+            enable_randomizer=False,
+            disturb_type="gaussian",
+            disable_rollover_terminate=True,
+            generate_noisy_state=True,
+        )
+    )
+    total_steps = 300 * 4 * (1 if args.quick else 10)
+    pstr = f"N{args.n}_H{args.h}_lam0.01"
+
+    rows = []
+    for name in args.controllers:
+        solver, _ = get_solver(
+            env, name, pstr, rng_mode=sampling.FAST,
+            hessian_mode="adjoint" if "covo" in name else "fwd_fwd",
+            collect_debug=False,
+        )
+        t0 = time.time()
+        res = evaluate(env, solver, total_steps=total_steps)
+        wall = time.time() - t0
+        rows.append((name, res.mean * 100, res.std * 100, wall))
+        print(f"{name:14s} err_pos = {res.mean*100:6.2f} +/- {res.std*100:5.2f} cm"
+              f"  (eval wall {wall:.0f}s)", file=sys.stderr)
+
+    mppi = next((r for r in rows if r[0] == "mppi"), None)
+    lines = [
+        f"# Results — {args.task}, N={args.n}, H={args.h}, lam=0.01, noDR",
+        "",
+        f"Protocol: {total_steps//300} episodes = 4 fixed trajectories x "
+        f"{total_steps//1200} reps x 300 steps @ 50 Hz "
+        "(reference: quadrotor.py:506-591). Error = mean ||pos - pos_tar|| "
+        "over the episode, in cm. Device: "
+        f"{jax.devices()[0]}.",
+        "",
+        "| controller | err_pos (cm) | vs MPPI |",
+        "|---|---|---|",
+    ]
+    for name, mean, std, wall in rows:
+        rel = f"{(1 - mean / mppi[1]) * 100:+.1f}%" if mppi and name != "mppi" else "—"
+        lines.append(f"| {name} | {mean:.2f} ± {std:.2f} | {rel} |")
+    lines.append("")
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines))
+    print(json.dumps({r[0]: round(r[1], 2) for r in rows}))
+
+
+if __name__ == "__main__":
+    main()

@@ -242,10 +242,12 @@ class TestSensitivityHessian:
                 disable_rollover_terminate=True, generate_noisy_state=True,
             )
         )
+        # parity sampling: chol(Σ) is continuous in Σ, unlike the fast
+        # eigen-factor whose basis is arbitrary in near-degenerate subspaces
         solver_s, _ = get_solver(env, "covo_online", PSTR,
-                                 rng_mode=sampling.FAST, hessian_mode="sensitivity")
+                                 rng_mode=sampling.PARITY, hessian_mode="sensitivity")
         solver_a, _ = get_solver(env, "covo_online", PSTR,
-                                 rng_mode=sampling.FAST,
+                                 rng_mode=sampling.PARITY,
                                  hessian_mode=covariance.FWD_FWD)
         key = jax.random.PRNGKey(42)
         params = env.default_params
@@ -255,5 +257,49 @@ class TestSensitivityHessian:
                               solver_s.init_control_params, info)
         a2, cp2, _ = solver_a(obs, state, params, rng,
                               solver_a.init_control_params, info)
+        np.testing.assert_allclose(a1, a2, atol=1e-3)
+        np.testing.assert_allclose(cp1.a_cov, cp2.a_cov, atol=1e-3)
+
+
+class TestAdjointHessian:
+    """Second-order adjoint Hessian == nested-jacfwd Hessian (exact)."""
+
+    @pytest.mark.parametrize("disturb", ["gaussian", "none", "periodic", "sin"])
+    def test_matches_autodiff(self, disturb):
+        env = QuadEnv(
+            EnvConfig(
+                task="tracking", enable_randomizer=False, disturb_type=disturb,
+                disable_rollover_terminate=True, generate_noisy_state=True,
+            )
+        )
+        from covo_mpc_tpu.ops.hessian import make_hessian_adjoint
+
+        _, info, state = env.reset_env(jax.random.PRNGKey(11), env.default_params)
+        noisy = info["noisy_state"]
+        x0 = pack_state(noisy)
+        a_mean = jax.random.normal(jax.random.PRNGKey(7), (H, 4)) * 0.3
+        args = (x0, noisy.time, noisy.pos_traj, noisy.vel_traj,
+                env.default_params, jax.random.PRNGKey(9))
+        R_ad = covariance.make_hessian(
+            make_hessian_cost(env, H), covariance.FWD_FWD
+        )(a_mean.flatten(), *args)
+        R_adj = make_hessian_adjoint(env, H)(a_mean.flatten(), *args)
+        np.testing.assert_allclose(R_adj, R_ad, atol=1e-5, rtol=1e-4)
+
+    def test_solver_end_to_end(self):
+        env = make_env()
+        solver_a, _ = get_solver(env, "covo_online", PSTR,
+                                 rng_mode=sampling.PARITY, hessian_mode="adjoint")
+        solver_f, _ = get_solver(env, "covo_online", PSTR,
+                                 rng_mode=sampling.PARITY,
+                                 hessian_mode=covariance.FWD_FWD)
+        key = jax.random.PRNGKey(42)
+        params = env.default_params
+        obs, info, state = env.reset_env(key, params)
+        rng = jax.random.PRNGKey(3)
+        a1, cp1, _ = solver_a(obs, state, params, rng,
+                              solver_a.init_control_params, info)
+        a2, cp2, _ = solver_f(obs, state, params, rng,
+                              solver_f.init_control_params, info)
         np.testing.assert_allclose(a1, a2, atol=1e-3)
         np.testing.assert_allclose(cp1.a_cov, cp2.a_cov, atol=1e-3)
