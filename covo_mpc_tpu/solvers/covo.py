@@ -128,8 +128,16 @@ class CoVOSolver(BaseSolver):
 
     @partial(jax.jit, static_argnums=(0,))
     def _reset_offline(self, env_state, env_params, control_params, key):
-        """Precompute the per-timestep Σ schedule by scanning the episode
-        under the PID expansion policy (reference: covo.py:58-112)."""
+        """Precompute the per-timestep Σ schedule (reference: covo.py:58-112).
+
+        The reference runs max_steps sequential iterations, each doing an
+        H-step PID rollout, a Hessian, and an eigh. The schedule STATE only
+        depends on the PID episode — never on Σ — so this decomposes into
+        (1) one cheap scan advancing the PID episode and collecting the
+        per-step (state, key) pairs, then (2) the H-rollouts, Hessians and
+        eighs for ALL max_steps timesteps as one vmapped batch. Same values
+        (identical key chain), ~device-parallel instead of 300x sequential.
+        """
 
         def expansion_action(state, params, rng):
             obs = self.env.get_obs(state, params)
@@ -148,30 +156,37 @@ class CoVOSolver(BaseSolver):
             )
             return (state, params, k), action
 
-        def schedule_step(carry, _):
-            state, params, k = carry
-            # nominal sequence from the expansion policy (reference: covo.py:74-76)
-            _, a_mean = jax.lax.scan(
-                pid_rollout, (state, params, k), None, length=self.H
+        # phase 1: advance the schedule episode, collecting (state_t, key_t)
+        # with the reference's key chain (covo.py:72-90: the H-rollout's key
+        # consumption is discarded; the forward step splits twice)
+        def advance(carry, _):
+            state, k = carry
+            out = (state, k)
+            rng_step, k = jax.random.split(k)
+            action = expansion_action(state, env_params, rng_step)
+            rng_step, k = jax.random.split(k)
+            _, state, _, _, _ = self.env.step_env(
+                rng_step, state, action, env_params
             )
-            R = self.get_hessian(state, params, a_mean, k)
+            return (state, k), out
+
+        max_steps = self.env.default_params.max_steps_in_episode
+        _, (states, keys) = jax.lax.scan(
+            advance, (env_state, key), None, length=max_steps
+        )
+
+        # phase 2: batched nominal rollouts + Hessians + Σ designs
+        def sigma_at(state, k):
+            _, a_mean = jax.lax.scan(
+                pid_rollout, (state, env_params, k), None, length=self.H
+            )
+            R = self.get_hessian(state, env_params, a_mean, k)
             a_cov, _ = covariance.optimize_sigma(
                 R, control_params.sample_sigma, self.D
             )
-            # advance the schedule state with PID — note: NOT deterministic
-            # (reference: covo.py:80-89)
-            rng_step, k = jax.random.split(k)
-            action = expansion_action(state, params, rng_step)
-            rng_step, k = jax.random.split(k)
-            _, state, _, _, _ = self.env.step_env(rng_step, state, action, params)
-            return (state, params, k), a_cov
+            return a_cov
 
-        _, a_cov_offline = jax.lax.scan(
-            schedule_step,
-            (env_state, env_params, key),
-            None,
-            length=self.env.default_params.max_steps_in_episode,
-        )
+        a_cov_offline = jax.vmap(sigma_at)(states, keys)
         return control_params.replace(a_cov_offline=a_cov_offline)
 
     # -- solve --------------------------------------------------------------
