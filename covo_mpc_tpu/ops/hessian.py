@@ -236,39 +236,28 @@ def make_hessian_adjoint(env: QuadEnv, H: int):
         grad_g = grad_g * mask[:, None]
         hess_g = hess_g * mask[:, None, None]
 
-        # 3) forward first-order sensitivities: T_h = [S1_h; E_h].
-        # S1_{h+1} = A_h S1_h + B_h E_h is an affine recurrence — run it as
-        # a log-depth associative scan of affine-map compositions (batched
-        # 13-wide matmuls) instead of H sequential steps.
-        A_all = J[:, :, :_SD]  # (H, 13, 13)
-        B_all = J[:, :, _SD:]  # (H, 13, dA)
-        C_all = jax.vmap(
-            lambda B, h: lax.dynamic_update_slice(
-                jnp.zeros((_SD, D)), B, (0, h * dA)
-            )
-        )(B_all, jnp.arange(H))  # (H, 13, D): B_h at column block h
-
-        def compose(early, late):
-            A1, C1 = early
-            A2, C2 = late
-            return A2 @ A1, A2 @ C1 + C2
-
-        _, S1_cum = lax.associative_scan(compose, (A_all, C_all))
-        # S1_0 = 0; S1_h = cumulative affine constant through step h-1
-        S1 = jnp.concatenate([jnp.zeros((1, _SD, D)), S1_cum[:-1]], axis=0)
-        E_all = jax.vmap(
-            lambda h: lax.dynamic_update_slice(
+        # 3) forward first-order sensitivities: T_h = [S1_h; E_h]
+        def fwd(S1, inp):
+            J_h, h = inp
+            E = lax.dynamic_update_slice(
                 jnp.zeros((dA, D)), jnp.eye(dA), (0, h * dA)
             )
-        )(jnp.arange(H))
-        T = jnp.concatenate([S1, E_all], axis=1)  # (H, 17, D)
+            T_h = jnp.concatenate([S1, E], axis=0)  # (17, D)
+            return J_h @ T_h, T_h
 
-        # 4) backward costate mu_j = w_{j+1} + A_{j+1}^T mu_{j+1}: the same
-        # affine-recurrence trick over the reversed sequence
-        At_rev = jnp.swapaxes(J[1:, :, :_SD], 1, 2)[::-1]  # A_{j+1}^T reversed
-        w_rev = grad_g[1:, :_SD][::-1, :, None]  # (H-1, 13, 1)
-        _, mu_cum = lax.associative_scan(compose, (At_rev, w_rev))
-        mus = jnp.concatenate([mu_cum[::-1, :, 0], jnp.zeros((1, _SD))], axis=0)
+        _, T = lax.scan(fwd, jnp.zeros((_SD, D)), (J, jnp.arange(H)), unroll=True)  # (H,17,D)
+
+        # 4) backward costate: mu_j = w_{j+1} + A_{j+1}^T mu_{j+1}
+        A_next = J[1:, :, :_SD][::-1]  # A_{j+1} for j = H-2..0
+        w_next = grad_g[1:, :_SD][::-1]
+
+        def bwd(mu, inp):
+            A, w = inp
+            mu = w + A.T @ mu
+            return mu, mu
+
+        _, mus_rev = lax.scan(bwd, jnp.zeros(_SD), (A_next, w_next), unroll=True)
+        mus = jnp.concatenate([mus_rev[::-1], jnp.zeros((1, _SD))], axis=0)
 
         # 5) per-step quadratic forms, 6) pull back and sum
         M = hess_g + jnp.einsum("hk,hkuv->huv", mus, Hf)  # (H, 17, 17)

@@ -157,3 +157,17 @@ def test_cli_render_smoke(tmp_path):
     assert rc == 0
     assert (tmp_path / "trace_smoke.npz").exists()
     assert (tmp_path / "render_smoke.png").exists()
+
+
+def test_debug_checked_solver():
+    from covo_mpc_tpu.runtime.debug import checked_solver, debug_mode
+
+    env = make_env()
+    solver, cp = get_solver(env, "mppi", PSTR, rng_mode=sampling.FAST,
+                            collect_debug=False)
+    obs, info, state = env.reset_env(jax.random.PRNGKey(0), env.default_params)
+    solve = checked_solver(solver)
+    with debug_mode():
+        action, cp2, _ = solve(obs, state, env.default_params,
+                               jax.random.PRNGKey(1), cp, info)
+    assert np.all(np.isfinite(np.asarray(action)))

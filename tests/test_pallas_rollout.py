@@ -136,3 +136,23 @@ def test_atan2_polynomial_accuracy():
     got = _atan2(y, x)
     ref = jnp.arctan2(y, x)
     assert float(jnp.max(jnp.abs(got - ref))) < 2e-5
+
+
+def test_solver_engine_consistency():
+    """MPPISolver(pallas) == MPPISolver(jnp) end-to-end (same samples)."""
+    from covo_mpc_tpu.ops import sampling
+    from covo_mpc_tpu.solvers import get_solver
+
+    env = make_env()
+    kw = dict(rng_mode=sampling.FAST, collect_debug=False)
+    s_jnp, cp = get_solver(env, "mppi", "N1024_H8_lam0.01", engine="jnp", **kw)
+    s_pal, _ = get_solver(env, "mppi", "N1024_H8_lam0.01",
+                          engine="pallas_interpret", **kw)
+    key = jax.random.PRNGKey(0)
+    params = env.default_params
+    obs, info, state = env.reset_env(key, params)
+    rng = jax.random.PRNGKey(5)
+    a1, cp1, _ = s_jnp(obs, state, params, rng, cp, info)
+    a2, cp2, _ = s_pal(obs, state, params, rng, cp, info)
+    np.testing.assert_allclose(a1, a2, atol=1e-4)
+    np.testing.assert_allclose(cp1.a_mean, cp2.a_mean, atol=1e-4)
