@@ -153,3 +153,26 @@ class TestStandalone:
             obs, state, reward, done, info = env.step(k, state, jnp.zeros(4), params)
         assert state.time == 3
         assert obs.shape == (env.obs_dim,)
+
+
+@pytest.mark.skipif(load_reference() is None, reason="reference unavailable")
+def test_obs_quad_params_parity():
+    """quad_params observation (state + normalized parameters) matches."""
+    ref = load_reference()
+    env_r = ref.envs.quadrotor.Quad3D(
+        task="tracking", obs_type="quad_params", enable_randomizer=True,
+        disturb_type="gaussian", disable_rollover_terminate=True,
+        generate_noisy_state=True,
+    )
+    env = QuadEnv(
+        EnvConfig(task="tracking", obs_type="quad_params",
+                  enable_randomizer=True, disturb_type="gaussian",
+                  disable_rollover_terminate=True, generate_noisy_state=True)
+    )
+    key = jax.random.PRNGKey(33)
+    params = env.sample_params(key)
+    params_r = env_r.sample_params(key)
+    obs, _, state = env.reset_env(key, params)
+    obs_r, _, state_r = env_r.reset_env(key, params_r)
+    np.testing.assert_allclose(obs, obs_r, atol=1e-5)
+    assert env.obs_dim == obs.shape[0] == 67
