@@ -1,6 +1,20 @@
 """Multi-chip layer: meshes and sharded solve steps."""
 
-from covo_mpc_tpu.parallel.mesh import make_mesh
-from covo_mpc_tpu.parallel.sharded import make_sharded_mppi_solve
+from covo_mpc_tpu.parallel.distributed import device_topology, initialize_distributed
+from covo_mpc_tpu.parallel.mesh import SAMPLE_AXIS, SCENARIO_AXIS, make_mesh
+from covo_mpc_tpu.parallel.scenarios import make_multichip_control_step
+from covo_mpc_tpu.parallel.sharded import (
+    make_sharded_covo_sample_rollout,
+    make_sharded_mppi_solve,
+)
 
-__all__ = ["make_mesh", "make_sharded_mppi_solve"]
+__all__ = [
+    "SAMPLE_AXIS",
+    "SCENARIO_AXIS",
+    "device_topology",
+    "initialize_distributed",
+    "make_mesh",
+    "make_multichip_control_step",
+    "make_sharded_covo_sample_rollout",
+    "make_sharded_mppi_solve",
+]

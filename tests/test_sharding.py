@@ -136,3 +136,38 @@ def test_scenario_axis_vmap_sharded(setup):
     pos, r = batched_reset_step(keys, scen_params)
     assert pos.shape == (n_scen, 3)
     assert bool(jnp.all(jnp.isfinite(r)))
+
+
+def test_multichip_control_step(setup):
+    """Full distributed control step (scenario-DP x sample-sharding)."""
+    from covo_mpc_tpu.parallel.scenarios import make_multichip_control_step
+    from covo_mpc_tpu.solvers import hover_sequence
+
+    env, params, _ = setup
+    mesh = make_mesh(samples=4, scenarios=2, devices=jax.devices())
+    B, n_samples = 4, 32
+    step = make_multichip_control_step(env, mesh, N=n_samples, H=H, lam=0.01)
+
+    keys = jax.random.split(jax.random.PRNGKey(1), B)
+    scen_params = jax.vmap(env.sample_params)(keys)
+    states = jax.vmap(lambda k, p: env.reset_env(k, p)[2])(keys, scen_params)
+    a_means = jnp.tile(hover_sequence(env, H)[None], (B, 1, 1))
+    a_covs = jnp.tile(jnp.eye(4)[None, None] * 0.25, (B, H, 1, 1))
+
+    states2, a_means2, rewards, dones = step(
+        states, scen_params, a_means, a_covs, keys
+    )
+    assert rewards.shape == (B,)
+    assert bool(jnp.all(jnp.isfinite(rewards)))
+    assert bool(jnp.all(states2.time == 1))
+    # the solve must have moved the nominal sequence
+    assert float(jnp.max(jnp.abs(a_means2 - a_means))) > 0.0
+
+
+def test_device_topology():
+    from covo_mpc_tpu.parallel import device_topology, initialize_distributed
+
+    assert initialize_distributed(num_processes=1) == 0
+    topo = device_topology()
+    assert topo["global_devices"] == 8
+    assert topo["process_count"] == 1
