@@ -108,40 +108,53 @@ def build_disturb_table(env: QuadEnv, x0, t0, params, step_key, deterministic, H
 
 
 def _rollout_kernel(
-    # SMEM
-    x0_ref,  # (16,) f32
-    scal_ref,  # (10,) f32, see _M.._DISCOUNT
-    int_ref,  # (2,) i32: [t0, max_steps]
-    ptar_ref,  # (H*3,) f32
-    vtar_ref,  # (H*3,) f32
-    dist_ref,  # (H*3,) f32
+    # SMEM (flattened with a per-scenario stride when batched)
+    x0_ref,  # (B*16,) f32
+    scal_ref,  # (B*10,) f32, see _M.._DISCOUNT
+    int_ref,  # (B*2,) i32: [t0, max_steps]
+    ptar_ref,  # (B*H*3,) f32
+    vtar_ref,  # (B*H*3,) f32
+    dist_ref,  # (B*H*3,) f32
     # VMEM
-    act_ref,  # (H, 4, SUB, LB) f32
-    cost_ref,  # (SUB, LB) f32 out
+    act_ref,  # (H, 4, SUB, LB) f32; leading scenario dim of 1 when batched
+    cost_ref,  # (SUB, LB) f32 out; leading scenario dim of 1 when batched
     *,
     H: int,
     reward_name: str,
     check_rollover: bool,
+    batched: bool = False,
 ):
-    shape = cost_ref.shape
-    m = scal_ref[_M]
-    g = scal_ref[_G]
-    dt = scal_ref[_DT]
-    alpha = scal_ref[_ALPHA]
-    ascale = scal_ref[_ASCALE]
-    max_thrust = scal_ref[_MAX_THRUST]
-    mo = (scal_ref[_MO0], scal_ref[_MO1], scal_ref[_MO2])
-    discount = scal_ref[_DISCOUNT]
-    t0 = int_ref[0]
-    max_steps = int_ref[1]
+    if batched:
+        # grid = (scenarios, lane tiles); scalar tables are scenario-strided
+        b = pl.program_id(0)
+        xo, so, io, to = b * 16, b * 10, b * 2, b * (H * 3)
+        act = lambda h, j: act_ref[0, h, j]
+        shape = cost_ref.shape[1:]
+    else:
+        xo = so = io = to = 0
+        act = lambda h, j: act_ref[h, j]
+        shape = cost_ref.shape
+    m = scal_ref[so + _M]
+    g = scal_ref[so + _G]
+    dt = scal_ref[so + _DT]
+    alpha = scal_ref[so + _ALPHA]
+    ascale = scal_ref[so + _ASCALE]
+    max_thrust = scal_ref[so + _MAX_THRUST]
+    mo = (scal_ref[so + _MO0], scal_ref[so + _MO1], scal_ref[so + _MO2])
+    discount = scal_ref[so + _DISCOUNT]
+    t0 = int_ref[io + 0]
+    max_steps = int_ref[io + 1]
 
     def bc(s):  # broadcast scalar to the sample tile
         return jnp.full(shape, s, dtype=jnp.float32)
 
-    px, py, pz = bc(x0_ref[0]), bc(x0_ref[1]), bc(x0_ref[2])
-    qx, qy, qz, qw = bc(x0_ref[3]), bc(x0_ref[4]), bc(x0_ref[5]), bc(x0_ref[6])
-    vx, vy, vz = bc(x0_ref[7]), bc(x0_ref[8]), bc(x0_ref[9])
-    wx, wy, wz = bc(x0_ref[10]), bc(x0_ref[11]), bc(x0_ref[12])
+    px, py, pz = bc(x0_ref[xo + 0]), bc(x0_ref[xo + 1]), bc(x0_ref[xo + 2])
+    qx, qy, qz, qw = (
+        bc(x0_ref[xo + 3]), bc(x0_ref[xo + 4]),
+        bc(x0_ref[xo + 5]), bc(x0_ref[xo + 6]),
+    )
+    vx, vy, vz = bc(x0_ref[xo + 7]), bc(x0_ref[xo + 8]), bc(x0_ref[xo + 9])
+    wx, wy, wz = bc(x0_ref[xo + 10]), bc(x0_ref[xo + 11]), bc(x0_ref[xo + 12])
 
     cost = jnp.zeros(shape, dtype=jnp.float32)
     r_prev = jnp.zeros(shape, dtype=jnp.float32)
@@ -149,16 +162,20 @@ def _rollout_kernel(
     disc = jnp.float32(1.0)
 
     for h in range(H):
-        ptx, pty, ptz = ptar_ref[3 * h], ptar_ref[3 * h + 1], ptar_ref[3 * h + 2]
-        fdx, fdy, fdz = dist_ref[3 * h], dist_ref[3 * h + 1], dist_ref[3 * h + 2]
+        ptx = ptar_ref[to + 3 * h]
+        pty = ptar_ref[to + 3 * h + 1]
+        ptz = ptar_ref[to + 3 * h + 2]
+        fdx = dist_ref[to + 3 * h]
+        fdy = dist_ref[to + 3 * h + 1]
+        fdz = dist_ref[to + 3 * h + 2]
 
         # ---- reward on the PRE-step state (reference: quadrotor.py:243)
         ex, ey, ez = ptx - px, pty - py, ptz - pz
         err_pos = jnp.sqrt(ex * ex + ey * ey + ez * ez)
         if reward_name == "penyaw":
-            vtx, vty, vtz = (
-                vtar_ref[3 * h], vtar_ref[3 * h + 1], vtar_ref[3 * h + 2]
-            )
+            vtx = vtar_ref[to + 3 * h]
+            vty = vtar_ref[to + 3 * h + 1]
+            vtz = vtar_ref[to + 3 * h + 2]
             evx, evy, evz = vtx - vx, vty - vy, vtz - vz
             err_vel = jnp.sqrt(evx * evx + evy * evy + evz * evz)
             yaw = _atan2(
@@ -195,10 +212,10 @@ def _rollout_kernel(
         d_prev = d_prev | d_now | time_up
 
         # ---- dynamics (reference: free.py:75-112)
-        a0 = jnp.clip(act_ref[h, 0], -1.0, 1.0)
-        a1 = jnp.clip(act_ref[h, 1], -1.0, 1.0)
-        a2 = jnp.clip(act_ref[h, 2], -1.0, 1.0)
-        a3 = jnp.clip(act_ref[h, 3], -1.0, 1.0)
+        a0 = jnp.clip(act(h, 0), -1.0, 1.0)
+        a1 = jnp.clip(act(h, 1), -1.0, 1.0)
+        a2 = jnp.clip(act(h, 2), -1.0, 1.0)
+        a3 = jnp.clip(act(h, 3), -1.0, 1.0)
         thrust = (a0 + 1.0) * 0.5 * max_thrust * ascale
         wtx = a1 * mo[0] * ascale
         wty = a2 * mo[1] * ascale
@@ -239,7 +256,10 @@ def _rollout_kernel(
         wy = alpha * wy + (1.0 - alpha) * wty
         wz = alpha * wz + (1.0 - alpha) * wtz
 
-    cost_ref[:, :] = cost
+    if batched:
+        cost_ref[0, :, :] = cost
+    else:
+        cost_ref[:, :] = cost
 
 
 def make_pallas_rollout(env: QuadEnv, interpret: bool = False):
@@ -324,3 +344,99 @@ def make_pallas_rollout(env: QuadEnv, interpret: bool = False):
         return costs2d.reshape(N), None
 
     return rollout_costs
+
+
+def make_pallas_rollout_batched(env: QuadEnv, interpret: bool = False):
+    """Scenario-batched fused rollout: one kernel over a (B, lane-tiles)
+    grid — the pod-configuration inner loop (B domain-randomized scenarios
+    x N samples each). `jax.vmap` cannot batch the single-scenario kernel
+    (SMEM blocks don't tile), so the scenario index is a native grid
+    dimension with scenario-strided scalar tables.
+
+    Returns ``rollout_costs_b(x0s (B,16), t0s (B,), pos_trajs (B,T,3),
+    vel_trajs, actions (B,N,H,dA), params_b (leaves batched on axis 0),
+    step_keys (B,...), deterministic, discount) -> costs (B, N)``.
+    """
+    if not _supported(env):
+        raise NotImplementedError(
+            f"disturb_type {env.config.disturb_type!r} is velocity-dependent; "
+            "use the jnp rollout engine"
+        )
+    reward_name = env.reward_name
+    check_rollover = not env.config.disable_rollover_terminate
+    dt = env._dt
+
+    def rollout_costs_b(
+        x0s, t0s, pos_trajs, vel_trajs, actions, params_b, step_keys,
+        deterministic: bool = False, discount=1.0,
+    ):
+        B, N, H, dA = actions.shape
+        assert dA == 4 and N % (SUB * 128) == 0, (B, N, H, dA)
+        lanes = N // SUB
+        LB = min(512, lanes)
+        T = pos_trajs.shape[1]
+
+        def per_scenario_tables(x0, t0, pos_traj, vel_traj, params, step_key):
+            idx = jnp.clip(t0 + jnp.arange(H), 0, T - 1)
+            ptar = pos_traj[idx].reshape(-1)
+            vtar = vel_traj[idx].reshape(-1)
+            dist = build_disturb_table(
+                env, x0, t0, params, step_key, deterministic, H
+            ).reshape(-1)
+            scal = jnp.stack(
+                [
+                    params.m, params.g, jnp.float32(dt), params.alpha_bodyrate,
+                    params.action_scale, params.max_thrust,
+                    params.max_omega[0], params.max_omega[1],
+                    params.max_omega[2], jnp.float32(discount),
+                ]
+            ).astype(jnp.float32)
+            ints = jnp.array([t0, params.max_steps_in_episode], dtype=jnp.int32)
+            return ptar, vtar, dist, scal, ints
+
+        ptar, vtar, dist, scal, ints = jax.vmap(per_scenario_tables)(
+            x0s, t0s, pos_trajs, vel_trajs, params_b, step_keys
+        )
+
+        acts = actions.transpose(0, 2, 3, 1).reshape(B, H, dA, SUB, lanes)
+
+        kernel = functools.partial(
+            _rollout_kernel,
+            H=H,
+            reward_name=reward_name,
+            check_rollover=check_rollover,
+            batched=True,
+        )
+        costs = pl.pallas_call(
+            kernel,
+            grid=(B, lanes // LB),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # x0s flat
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # scal flat
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # ints flat
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # ptar flat
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # vtar flat
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # dist flat
+                pl.BlockSpec(
+                    (1, H, dA, SUB, LB),
+                    lambda b, i: (b, 0, 0, 0, i),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, SUB, LB), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, SUB, lanes), jnp.float32),
+            interpret=interpret,
+        )(
+            x0s[:, :16].reshape(-1),
+            scal.reshape(-1),
+            ints.reshape(-1),
+            ptar.reshape(-1),
+            vtar.reshape(-1),
+            dist.reshape(-1),
+            acts,
+        )
+        return costs.reshape(B, N)
+
+    return rollout_costs_b
