@@ -67,6 +67,10 @@ def main(argv=None) -> int:
         debug=cfg.debug,
         rng_mode=cfg.rng_mode,
         hessian_mode=cfg.hessian_mode,
+        engine=cfg.engine,
+        sigma_mode=cfg.sigma_mode,
+        # the pallas engine computes costs only; debug pos traces need jnp
+        collect_debug=(cfg.engine == "jnp"),
     )
     name = cfg.name or f"{cfg.controller}_{cfg.task}"
     os.makedirs(cfg.results_dir, exist_ok=True)

@@ -58,6 +58,136 @@ def optimize_sigma(
     return a_cov, factor
 
 
+def _mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """fp32 matmul. TPU's default matmul precision truncates fp32 inputs to
+    bf16, which wrecks the λ_min refinement (needs ~1e-6 relative) — the
+    designer NaNs over a real episode without this. HIGHEST keeps the MXU
+    path (multi-pass bf16) at full fp32 accuracy."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+def _extreme_eig(B: jnp.ndarray, squarings: int) -> jnp.ndarray:
+    """λ_max of symmetric PSD ``B`` by power iteration with repeated squaring.
+
+    After ``m`` squarings the spectral weight of eigenvalue λ in
+    ``M ∝ B^(2^m)`` is ``(λ/λ_max)^(2^m)``; the Rayleigh quotient
+    ``<M, B M> / <M, M>`` then averages only eigenvalues within
+    ``~2^{-m} log``-distance of the top, so the estimate is exact up to the
+    width of the top cluster — the right semantics for a spectrum shift.
+    Matmul-only (one 128³ matmul per squaring): MXU-bound, no eigh.
+    """
+
+    def square(M, _):
+        M = _mm(M, M)
+        return M / (jnp.linalg.norm(M) + 1e-30), None
+
+    M, _ = jax.lax.scan(
+        square, B / (jnp.linalg.norm(B) + 1e-30), None, length=squarings
+    )
+    return jnp.vdot(M, _mm(B, M)) / (jnp.vdot(M, M) + 1e-30)
+
+
+def _ns_sqrt(Ahat: jnp.ndarray, iters: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Coupled Newton–Schulz iteration: ``(Y, Z) → (Ahat^{1/2}, Ahat^{-1/2})``.
+
+    Requires ``spec(Ahat) ⊂ (0, 1]``. Quadratically convergent once the
+    iterates reach O(1); the initial phase grows small eigenvalues by 1.5×
+    per step, so ``iters ≈ log_{1.5} sqrt(κ) + 6`` covers condition κ.
+    Pure 128³ matmuls — the MXU replacement for the eigh spectrum rescale.
+    """
+    D = Ahat.shape[0]
+    eye3 = 3.0 * jnp.eye(D, dtype=Ahat.dtype)
+
+    def body(carry, _):
+        Y, Z = carry
+        T = 0.5 * (eye3 - _mm(Z, Y))
+        return (_mm(Y, T), _mm(T, Z)), None
+
+    (Y, Z), _ = jax.lax.scan(body, (Ahat, jnp.eye(D, dtype=Ahat.dtype)), None, length=iters)
+    return Y, Z
+
+
+def optimize_sigma_ns(
+    R: jnp.ndarray,
+    sample_sigma,
+    horizon_dim: int,
+    *,
+    squarings: int = 14,
+    ns_iters_rough: int = 18,
+    ns_iters: int = 36,
+    ns_iters_quarter: int = 26,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Eigh-free :func:`optimize_sigma`: the same det-preserving ``R^{-1/2}``
+    design computed entirely with matmuls + one Cholesky.
+
+    eigh(128) costs ~0.66 ms on a TPU chip (sequential QR machinery); this
+    path replaces it with MXU-native pieces:
+
+      1. spectral extremes of R by power-squaring (:func:`_extreme_eig`),
+      2. λ_min refined THROUGH THE INVERSE: a rough, generously-shifted
+         ``A₁^{-1/2}`` by Newton–Schulz, then power-squaring on
+         ``Z₁² = (A₁/s₁)^{-1}`` — inversion magnifies the bottom of the
+         spectrum, so the estimate error scales with the (small) shifted
+         floor instead of with the spectral spread. That is what makes the
+         reference's absolute ``-λ_min + 1e-2`` shift (covo.py:120-122)
+         reachable without eigh: one direct pass needs λ_min to ±1e-2 out
+         of a spread that reaches ~400 in flight (2.5e-6 relative — below
+         what fp32 power/Krylov iterations deliver), while the refined
+         error is ~1e-4 · floor.
+      3. ``A^{-1/2}`` by coupled Newton–Schulz (:func:`_ns_sqrt`),
+      4. ``log det A`` by one Cholesky (~0.12 ms vs 0.66) for the
+         fixed-determinant constant (covo.py:124-128),
+      5. the sampling factor ``Σ^{1/2} = √c · A^{-1/4}`` by a second
+         Newton–Schulz on ``A^{-1/2}``.
+
+    Differences vs. the eigh path are O(top-cluster width) in the shift and
+    O(NS residual) in the roots — pinned against eigh in tests on real
+    rollout Hessians across the in-flight conditioning range. Use for the
+    fast mode; parity mode keeps eigh.
+    """
+    D = horizon_dim
+    R = (R + R.T) / 2.0
+    eye = jnp.eye(D, dtype=R.dtype)
+    fnorm = jnp.linalg.norm(R) + 1e-30
+
+    # 1) spectral extremes. λ_max first (relative-accurate at the top), then
+    # reuse it as a tight bound for the λ_min pass: B = bound·I - R keeps
+    # λ_max(B) ≈ spread, so suppression acts on undiluted relative gaps.
+    lam_max = _extreme_eig(fnorm * eye + R, squarings) - fnorm
+    bound = lam_max * 1.02 + 1e-3 * fnorm  # strictly ≥ λ_max
+    lam_min_rough = bound - _extreme_eig(bound * eye - R, squarings)
+    spread = bound - lam_min_rough
+
+    # 2) refine λ_min through the inverse of a generously-shifted A₁
+    delta1 = 1e-2 + 2e-3 * spread  # ≥ 4x the rough-pass error bound
+    off1 = -lam_min_rough + delta1
+    s1 = (lam_max + off1) * 1.05
+    _, Z1 = _ns_sqrt((R + off1 * eye) / s1, ns_iters_rough)  # κ(A₁) ≲ 500
+    lam_min = s1 / _extreme_eig(_mm(Z1, Z1), squarings) - off1
+
+    # 3) the reference shift, now with floor error ~1e-4 · 1e-2
+    offset = -lam_min + 1e-2
+    A = R + offset * eye
+    s = (lam_max + offset) * 1.05 + 1e-30  # ≥ λ_max(A), tight
+    _, Z = _ns_sqrt(A / s, ns_iters)  # Z ≈ (A/s)^{-1/2}
+
+    # 4) fixed-determinant constant (reference: covo.py:124-128)
+    chol = jnp.linalg.cholesky(A)
+    log_det_A = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+    log_det_a_cov = D * (jnp.log(sample_sigma) * 2.0)
+    log_const = (log_det_a_cov * 2.0 + log_det_A) / D
+    c = jnp.exp(0.5 * log_const)
+
+    a_cov = (c / jnp.sqrt(s)) * Z
+    a_cov = (a_cov + a_cov.T) / 2.0
+
+    # 5) Σ^{1/2} = √c · A^{-1/4} = √c · √z_s · s^{-1/4} · (Z/z_s)^{1/2}
+    z_s = jnp.sqrt(s / 5e-3) * 1.05  # ≥ λ_max(Z); 5e-3 cushions the floor
+    W, _ = _ns_sqrt(Z / z_s, ns_iters_quarter)
+    factor = (jnp.sqrt(c) * jnp.sqrt(z_s) / s**0.25) * W
+    return a_cov, factor
+
+
 def make_hessian(cost_fn, mode: str = FWD_FWD):
     """Hessian of a scalar rollout cost w.r.t. the flattened action sequence.
 

@@ -59,10 +59,21 @@ class CoVOSolver(BaseSolver):
         collect_debug: bool = True,
         engine: str = "jnp",
         hessian_unroll: int = 1,
+        sigma_mode: str = "eigh",
     ) -> None:
         super().__init__(env, control_params)
         if mode not in ("online", "offline"):
             raise NotImplementedError(f"unknown CoVO mode {mode!r}")
+        if sigma_mode == "eigh":
+            self._optimize_sigma = covariance.optimize_sigma
+        elif sigma_mode == "ns":
+            # matmul-only Newton-Schulz designer; not bit-identical to eigh,
+            # so it pairs with the fast/invariant samplers, not parity
+            if rng_mode == sampling.PARITY:
+                raise ValueError("sigma_mode='ns' is not a parity path")
+            self._optimize_sigma = covariance.optimize_sigma_ns
+        else:
+            raise ValueError(f"unknown sigma_mode {sigma_mode!r}")
         self.N = N
         self.H = H
         self.lam = lam
@@ -118,7 +129,7 @@ class CoVOSolver(BaseSolver):
 
     def _sigma_online(self, control_params, env_state, env_params, key):
         R = self.get_hessian(env_state, env_params, control_params.a_mean, key)
-        return covariance.optimize_sigma(R, control_params.sample_sigma, self.D)
+        return self._optimize_sigma(R, control_params.sample_sigma, self.D)
 
     # -- offline schedule ---------------------------------------------------
     def reset(self, env_state=None, env_params=None, control_params=None, key=None):
@@ -181,7 +192,7 @@ class CoVOSolver(BaseSolver):
                 pid_rollout, (state, env_params, k), None, length=self.H
             )
             R = self.get_hessian(state, env_params, a_mean, k)
-            a_cov, _ = covariance.optimize_sigma(
+            a_cov, _ = self._optimize_sigma(
                 R, control_params.sample_sigma, self.D
             )
             return a_cov

@@ -47,6 +47,7 @@ def get_solver(
     hessian_mode: str = covariance.FWD_FWD,
     collect_debug: bool = True,
     engine: str = "jnp",
+    sigma_mode: str = "eigh",
 ):
     """Build (solver, control_params) by name (reference: quadrotor.py:670-752).
 
@@ -97,7 +98,7 @@ def get_solver(
         solver = CoVOSolver(
             env, params, N=N, H=H, lam=lam, mode=mode, rng_mode=rng_mode,
             hessian_mode=hessian_mode, collect_debug=collect_debug,
-            engine=engine,
+            engine=engine, sigma_mode=sigma_mode,
         )
         return solver, params
     raise NotImplementedError(f"unknown controller {name!r}")

@@ -69,6 +69,85 @@ class TestOptimizeSigma:
         np.testing.assert_allclose(ours, theirs, atol=1e-4)
 
 
+class TestOptimizeSigmaNS:
+    """Matmul-only Newton-Schulz Σ-designer == eigh designer (fast path)."""
+
+    @pytest.mark.parametrize("scale", [1.0, 10.0, 100.0])
+    def test_matches_eigh_across_conditioning(self, scale):
+        # shifted condition number scales ~400x per decade of `scale`; the
+        # in-flight range measured over a tracking_zigzag episode is
+        # cond ∈ [~400, ~4e4] (p99 1.9e4)
+        key = jax.random.PRNGKey(0)
+        A = jax.random.normal(key, (128, 128))
+        R = (A @ A.T / 128) * scale - 0.3 * scale * jnp.eye(128)
+        c1, _ = covariance.optimize_sigma(R, 0.5, 128)
+        c2, f2 = covariance.optimize_sigma_ns(R, 0.5, 128)
+        rel = np.linalg.norm(np.asarray(c2 - c1)) / np.linalg.norm(np.asarray(c1))
+        assert rel < 5e-3, f"scale={scale}: relerr {rel}"
+        # the returned factor is a valid square root of the returned cov
+        np.testing.assert_allclose(
+            np.asarray(f2 @ f2.T), np.asarray(c2),
+            atol=1e-4 * float(np.linalg.norm(np.asarray(c2))),
+        )
+
+    def test_det_preserved(self):
+        key = jax.random.PRNGKey(3)
+        A = jax.random.normal(key, (64, 64))
+        R = A @ A.T - 2.0 * jnp.eye(64)
+        a_cov, _ = covariance.optimize_sigma_ns(R, 0.5, 64)
+        _, logdet = jnp.linalg.slogdet(a_cov)
+        assert float(logdet) == pytest.approx(64 * 2 * np.log(0.5), abs=1e-2)
+
+    def test_real_rollout_hessian(self):
+        from covo_mpc_tpu.ops.hessian import make_hessian_adjoint
+        from covo_mpc_tpu.solvers.factory import hover_sequence
+
+        env = QuadEnv(
+            EnvConfig(
+                task="tracking_zigzag", enable_randomizer=False,
+                disturb_type="gaussian", disable_rollover_terminate=True,
+                generate_noisy_state=True,
+            )
+        )
+        _, info, _ = env.reset_env(jax.random.PRNGKey(11), env.default_params)
+        noisy = info["noisy_state"]
+        a_mean = hover_sequence(env, 32)
+        R = make_hessian_adjoint(env, 32)(
+            a_mean.flatten(), pack_state(noisy), noisy.time,
+            noisy.pos_traj, noisy.vel_traj, env.default_params,
+            jax.random.PRNGKey(9),
+        )
+        c1, _ = covariance.optimize_sigma(R, 0.5, 128)
+        c2, _ = covariance.optimize_sigma_ns(R, 0.5, 128)
+        rel = np.linalg.norm(np.asarray(c2 - c1)) / np.linalg.norm(np.asarray(c1))
+        assert rel < 2e-3
+
+    def test_solver_end_to_end(self):
+        env = make_env()
+        kwargs = dict(rng_mode=sampling.FAST, hessian_mode="adjoint",
+                      collect_debug=False)
+        s_ns, _ = get_solver(env, "covo_online", PSTR, sigma_mode="ns", **kwargs)
+        s_ei, _ = get_solver(env, "covo_online", PSTR, sigma_mode="eigh", **kwargs)
+        key = jax.random.PRNGKey(42)
+        params = env.default_params
+        obs, info, state = env.reset_env(key, params)
+        rng = jax.random.PRNGKey(3)
+        _, cp1, _ = s_ns(obs, state, params, rng, s_ns.init_control_params, info)
+        _, cp2, _ = s_ei(obs, state, params, rng, s_ei.init_control_params, info)
+        # same Σ design (the sampling FACTORS are different square roots of
+        # it, so actions are not comparable draw-for-draw)
+        rel = np.linalg.norm(np.asarray(cp1.a_cov - cp2.a_cov)) / np.linalg.norm(
+            np.asarray(cp2.a_cov)
+        )
+        assert rel < 2e-3
+
+    def test_parity_mode_rejected(self):
+        env = make_env()
+        with pytest.raises(ValueError):
+            get_solver(env, "covo_online", PSTR, rng_mode=sampling.PARITY,
+                       sigma_mode="ns")
+
+
 @pytest.mark.skipif(load_reference() is None, reason="reference unavailable")
 class TestHessian:
     def _setup(self):
