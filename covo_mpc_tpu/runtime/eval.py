@@ -45,6 +45,16 @@ def evaluate(
     """Reference-parity evaluation (reference: quadrotor.py:506-591)."""
     max_steps = env.default_params.max_steps_in_episode
     num_eps = int(total_steps // max_steps)
+    if num_eps < 1:
+        raise ValueError(
+            f"total_steps={total_steps} is less than one episode "
+            f"({max_steps} steps)"
+        )
+    # fewer episodes than reset trajectories: use the first num_eps
+    # trajectories once each instead of silently averaging zero episodes
+    # (the reference's num_eps//4 loop nesting would run nothing and print
+    # nan, quadrotor.py:564-573)
+    num_trajs = min(num_trajs, num_eps)
     reps = num_eps // num_trajs
     run_one_ep = make_episode_runner(env, controller)
 
