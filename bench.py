@@ -102,11 +102,13 @@ def main():
     pstr = f"N{args.n}_H{args.h}_lam0.01"
     print(f"[bench] device={jax.devices()[0]}", file=sys.stderr)
 
-    def bench_one(controller, engine):
+    def bench_one(controller, engine, sigma_mode="ns"):
+        # fast-path config: adjoint Hessian + matmul-only Newton-Schulz
+        # Σ-designer (quality pinned vs the eigh path in tests + RESULTS.md)
         solver, cp = get_solver(
             env, controller, pstr, rng_mode=sampling.FAST,
             hessian_mode="adjoint", collect_debug=False,
-            engine=engine,
+            engine=engine, sigma_mode=sigma_mode,
         )
         per_solve, overhead = measure_solve_rate(
             solver, obs, state, params, info, cp, k=args.k
@@ -125,6 +127,7 @@ def main():
         for c in ("mppi", "covo_online"):
             for e in ("jnp", "pallas"):
                 bench_one(c, e)
+        bench_one("covo_online", "pallas", sigma_mode="eigh")
 
     rate = bench_one(args.controller, args.engine)
     print(
