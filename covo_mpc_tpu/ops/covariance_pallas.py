@@ -1,0 +1,182 @@
+"""Fused Pallas-TPU kernel for the Newton-Schulz Σ-designer.
+
+`ops.covariance.optimize_sigma_ns` is ~200 small 128x128 matmuls plus a
+Cholesky; at the XLA level each is a separate op with per-op overhead
+comparable to its MXU time. This kernel runs the ENTIRE designer — spectral
+extremes by power-squaring, the inverse-refined λ_min, both coupled
+Newton-Schulz root iterations, and an in-VMEM elimination for log det —
+as one program with every matrix resident in VMEM (a 128x128 fp32 matrix
+is 64 KB; the working set is <1 MB).
+
+Numerics match ops.covariance.optimize_sigma_ns: identical iteration
+counts, and every dot runs at Precision.HIGHEST (TPU's default bf16
+truncation NaNs the λ_min refinement — see covariance._mm).
+
+Reference semantics: covo.py:116-132 (det-preserving R^{-1/2} spectrum
+rescale); equivalence pinned by tests/test_covo.py::TestOptimizeSigmaNSPallas.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(
+        a, b, (((a.ndim - 1,), (0,)), ((), ())), precision=HIGHEST
+    )
+
+
+def _fnorm(M):
+    return jnp.sqrt(jnp.sum(M * M))
+
+
+def _extreme(B, squarings: int):
+    """λ_max of symmetric PSD B (covariance._extreme_eig, in-kernel)."""
+
+    def sq(_, M):
+        M = _dot(M, M)
+        return M / (_fnorm(M) + 1e-30)
+
+    M = jax.lax.fori_loop(0, squarings, sq, B / (_fnorm(B) + 1e-30))
+    BM = _dot(B, M)
+    return jnp.sum(M * BM) / (jnp.sum(M * M) + 1e-30)
+
+
+def _ns_sqrt(Ahat, eye, iters: int):
+    """Coupled Newton-Schulz (covariance._ns_sqrt, in-kernel)."""
+    eye3 = 3.0 * eye
+
+    def body(_, carry):
+        Y, Z = carry
+        T = 0.5 * (eye3 - _dot(Z, Y))
+        return _dot(Y, T), _dot(T, Z)
+
+    return jax.lax.fori_loop(0, iters, body, (Ahat, eye))
+
+
+def _logdet_pd(A, D: int):
+    """log det of a PD matrix by symmetric elimination, in-VMEM.
+
+    At pivot j only row j of the running Schur complement is read; the
+    full-matrix rank-1 update writes junk into already-eliminated rows,
+    which are never read again. Row extraction is a one-hot matvec (MXU)
+    so no dynamic lane indexing is needed.
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1)
+
+    def body(j, carry):
+        M, logdet = carry
+        e = (lane == j).astype(jnp.float32)  # (1, D) one-hot
+        row = _dot(e, M)  # (1, D)
+        piv = jnp.sum(row * e)
+        M = M - _dot(row.T, row) / piv
+        return M, logdet + jnp.log(piv)
+
+    _, logdet = jax.lax.fori_loop(0, D, body, (A, jnp.float32(0.0)))
+    return logdet
+
+
+def _sigma_ns_kernel(
+    R_ref,
+    sig_ref,
+    acov_ref,
+    factor_ref,
+    *,
+    D: int,
+    squarings: int,
+    ns_iters_rough: int,
+    ns_iters: int,
+    ns_iters_quarter: int,
+):
+    R = R_ref[...]
+    R = 0.5 * (R + R.T)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (D, D), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (D, D), 1)
+    eye = (row_i == col_i).astype(jnp.float32)
+    fnorm = _fnorm(R) + 1e-30
+
+    # 1) spectral extremes (tight bound for the λ_min pass)
+    lam_max = _extreme(fnorm * eye + R, squarings) - fnorm
+    bound = lam_max * 1.02 + 1e-3 * fnorm
+    lam_min_rough = bound - _extreme(bound * eye - R, squarings)
+    spread = bound - lam_min_rough
+
+    # 2) λ_min refined through the inverse
+    delta1 = 1e-2 + 2e-3 * spread
+    off1 = -lam_min_rough + delta1
+    s1 = (lam_max + off1) * 1.05
+    _, Z1 = _ns_sqrt((R + off1 * eye) / s1, eye, ns_iters_rough)
+    lam_min = s1 / _extreme(_dot(Z1, Z1), squarings) - off1
+
+    # 3) the reference shift + A^{-1/2}
+    offset = -lam_min + 1e-2
+    A = R + offset * eye
+    s = (lam_max + offset) * 1.05 + 1e-30
+    _, Z = _ns_sqrt(A / s, eye, ns_iters)
+
+    # 4) fixed-determinant constant (covo.py:124-128)
+    log_det_A = _logdet_pd(A, D)
+    sigma = sig_ref[0, 0]
+    log_det_a_cov = D * (jnp.log(sigma) * 2.0)
+    log_const = (log_det_a_cov * 2.0 + log_det_A) / D
+    c = jnp.exp(0.5 * log_const)
+
+    a_cov = (c / jnp.sqrt(s)) * Z
+    a_cov = 0.5 * (a_cov + a_cov.T)
+
+    # 5) sampling factor √c · A^{-1/4}
+    z_s = jnp.sqrt(s / 5e-3) * 1.05
+    W, _ = _ns_sqrt(Z / z_s, eye, ns_iters_quarter)
+    # s**0.25 via nested sqrt (Mosaic has no powf lowering)
+    factor = (jnp.sqrt(c) * jnp.sqrt(z_s) / jnp.sqrt(jnp.sqrt(s))) * W
+
+    acov_ref[...] = a_cov
+    factor_ref[...] = factor
+
+
+def optimize_sigma_ns_pallas(
+    R: jnp.ndarray,
+    sample_sigma,
+    horizon_dim: int,
+    *,
+    squarings: int = 14,
+    ns_iters_rough: int = 18,
+    ns_iters: int = 36,
+    ns_iters_quarter: int = 26,
+    interpret: bool = False,
+):
+    """Drop-in for covariance.optimize_sigma_ns, fused into one TPU kernel."""
+    D = horizon_dim
+    sig = jnp.full((1, 1), sample_sigma, jnp.float32)
+    kernel = functools.partial(
+        _sigma_ns_kernel,
+        D=D,
+        squarings=squarings,
+        ns_iters_rough=ns_iters_rough,
+        ns_iters=ns_iters,
+        ns_iters_quarter=ns_iters_quarter,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((D, D), jnp.float32),
+            jax.ShapeDtypeStruct((D, D), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(R.astype(jnp.float32), sig)

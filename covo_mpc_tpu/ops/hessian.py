@@ -187,7 +187,7 @@ def make_hessian_sensitivity(env: QuadEnv, H: int):
     return hessian
 
 
-def make_hessian_adjoint(env: QuadEnv, H: int):
+def make_hessian_adjoint(env: QuadEnv, H: int, primal: str = "scan"):
     """Exact Hessian via the second-order adjoint (costate) identity.
 
     With z_h = (s_h, a_h), g_h(z) = r(f(z)) and C = Σ_h g_h(z_h), the exact
@@ -204,6 +204,11 @@ def make_hessian_adjoint(env: QuadEnv, H: int):
     contraction is one (H,17,D)-shaped einsum pair.
 
     Same matrix as jacfwd(jacfwd(cost)) to fp rounding (tests/test_covo.py).
+
+    ``primal``: "scan" (XLA) or "pallas"/"pallas_interpret". The 32
+    sequential 13-dim steps of the nominal rollout cost ~0.8 ms as an XLA
+    scan (one fusion launch per step on a batch of ONE) — 90+% of the whole
+    Hessian; the Pallas primal runs the chain in-kernel.
     """
     if env.config.disturb_type in ("drag", "mixed"):
         raise NotImplementedError(
@@ -214,6 +219,16 @@ def make_hessian_adjoint(env: QuadEnv, H: int):
     dt = env._dt
     dA = env.action_dim
     D = H * dA
+    if primal in ("pallas", "pallas_interpret"):
+        from covo_mpc_tpu.ops.rollout_pallas import make_pallas_primal
+
+        pallas_primal = make_pallas_primal(
+            env, H, interpret=(primal == "pallas_interpret")
+        )
+    elif primal == "scan":
+        pallas_primal = None
+    else:
+        raise ValueError(f"unknown primal mode {primal!r}")
 
     def hessian(a_flat, x0, t0, pos_traj, vel_traj, params, key):
         a_seq = a_flat.reshape(H, dA)
@@ -227,12 +242,16 @@ def make_hessian_adjoint(env: QuadEnv, H: int):
         rew = lambda s, pt, vt: _reward13(s, pt, vt, reward_name)
 
         # 1) primal rollout, collecting z_h = (s_h, a_h)
-        def prim(s, inp):
-            a, fd = inp
-            z = jnp.concatenate([s, a])
-            return step_z(z, fd), z
+        if pallas_primal is not None:
+            zs = pallas_primal(x0, a_seq, dist, params)  # (H, 17)
+        else:
 
-        _, zs = lax.scan(prim, x0[:_SD], (a_seq, dist), unroll=True)  # (H, 17)
+            def prim(s, inp):
+                a, fd = inp
+                z = jnp.concatenate([s, a])
+                return step_z(z, fd), z
+
+            _, zs = lax.scan(prim, x0[:_SD], (a_seq, dist), unroll=True)  # (H, 17)
 
         # 2) local derivatives, batched over the horizon
         def local_derivs(z, fd, pt, vt):

@@ -107,6 +107,60 @@ def build_disturb_table(env: QuadEnv, x0, t0, params, step_key, deterministic, H
     return jnp.concatenate([f0[None], fs], axis=0)
 
 
+def _dyn_step(state, action, fdist, m, g, dt, alpha, ascale, max_thrust, mo):
+    """One bodyrate dynamics step on unpacked state components
+    (reference: free.py:75-112 with step_env's action clip folded in,
+    quadrotor.py:223/258). Components may be scalars or slabs — every op is
+    elementwise, so the same code serves the N-sample tile kernel and the
+    single-trajectory primal kernel."""
+    px, py, pz, qx, qy, qz, qw, vx, vy, vz, wx, wy, wz = state
+    fdx, fdy, fdz = fdist
+    a0 = jnp.clip(action[0], -1.0, 1.0)
+    a1 = jnp.clip(action[1], -1.0, 1.0)
+    a2 = jnp.clip(action[2], -1.0, 1.0)
+    a3 = jnp.clip(action[3], -1.0, 1.0)
+    thrust = (a0 + 1.0) * 0.5 * max_thrust * ascale
+    wtx = a1 * mo[0] * ascale
+    wty = a2 * mo[1] * ascale
+    wtz = a3 * mo[2] * ascale
+
+    # entry-normalize the quaternion (reference: free.py:88)
+    qn = jax.lax.rsqrt(qx * qx + qy * qy + qz * qz + qw * qw)
+    qx, qy, qz, qw = qx * qn, qy * qn, qz * qn, qw * qn
+
+    # body z-axis in world frame (third column of R)
+    bzx = 2.0 * (qx * qz + qw * qy)
+    bzy = 2.0 * (qy * qz - qw * qx)
+    bzz = qw * qw - qx * qx - qy * qy + qz * qz
+
+    inv_m = 1.0 / m
+    # position BEFORE velocity update (Euler, pre-update v)
+    px = px + vx * dt
+    py = py + vy * dt
+    pz = pz + vz * dt
+    vx = vx + (bzx * thrust + fdx) * inv_m * dt
+    vy = vy + (bzy * thrust + fdy) * inv_m * dt
+    vz = vz + ((bzz * thrust + fdz) * inv_m - g) * dt
+
+    # quaternion kinematics: q += dt * 0.5 * q x (omega, 0), renormalize
+    qdx = 0.5 * (qw * wx + qy * wz - qz * wy)
+    qdy = 0.5 * (qw * wy + qz * wx - qx * wz)
+    qdz = 0.5 * (qw * wz + qx * wy - qy * wx)
+    qdw = 0.5 * (-qx * wx - qy * wy - qz * wz)
+    qx = qx + dt * qdx
+    qy = qy + dt * qdy
+    qz = qz + dt * qdz
+    qw = qw + dt * qdw
+    qn = jax.lax.rsqrt(qx * qx + qy * qy + qz * qz + qw * qw)
+    qx, qy, qz, qw = qx * qn, qy * qn, qz * qn, qw * qn
+
+    # first-order bodyrate lag
+    wx = alpha * wx + (1.0 - alpha) * wtx
+    wy = alpha * wy + (1.0 - alpha) * wty
+    wz = alpha * wz + (1.0 - alpha) * wtz
+    return px, py, pz, qx, qy, qz, qw, vx, vy, vz, wx, wy, wz
+
+
 def _rollout_kernel(
     # SMEM (flattened with a per-scenario stride when batched)
     x0_ref,  # (B*16,) f32
@@ -212,49 +266,12 @@ def _rollout_kernel(
         d_prev = d_prev | d_now | time_up
 
         # ---- dynamics (reference: free.py:75-112)
-        a0 = jnp.clip(act(h, 0), -1.0, 1.0)
-        a1 = jnp.clip(act(h, 1), -1.0, 1.0)
-        a2 = jnp.clip(act(h, 2), -1.0, 1.0)
-        a3 = jnp.clip(act(h, 3), -1.0, 1.0)
-        thrust = (a0 + 1.0) * 0.5 * max_thrust * ascale
-        wtx = a1 * mo[0] * ascale
-        wty = a2 * mo[1] * ascale
-        wtz = a3 * mo[2] * ascale
-
-        # entry-normalize the quaternion (reference: free.py:88)
-        qn = jax.lax.rsqrt(qx * qx + qy * qy + qz * qz + qw * qw)
-        qx, qy, qz, qw = qx * qn, qy * qn, qz * qn, qw * qn
-
-        # body z-axis in world frame (third column of R)
-        bzx = 2.0 * (qx * qz + qw * qy)
-        bzy = 2.0 * (qy * qz - qw * qx)
-        bzz = qw * qw - qx * qx - qy * qy + qz * qz
-
-        inv_m = 1.0 / m
-        # position BEFORE velocity update (Euler, pre-update v)
-        px = px + vx * dt
-        py = py + vy * dt
-        pz = pz + vz * dt
-        vx = vx + (bzx * thrust + fdx) * inv_m * dt
-        vy = vy + (bzy * thrust + fdy) * inv_m * dt
-        vz = vz + ((bzz * thrust + fdz) * inv_m - g) * dt
-
-        # quaternion kinematics: q += dt * 0.5 * q x (omega, 0), renormalize
-        qdx = 0.5 * (qw * wx + qy * wz - qz * wy)
-        qdy = 0.5 * (qw * wy + qz * wx - qx * wz)
-        qdz = 0.5 * (qw * wz + qx * wy - qy * wx)
-        qdw = 0.5 * (-qx * wx - qy * wy - qz * wz)
-        qx = qx + dt * qdx
-        qy = qy + dt * qdy
-        qz = qz + dt * qdz
-        qw = qw + dt * qdw
-        qn = jax.lax.rsqrt(qx * qx + qy * qy + qz * qz + qw * qw)
-        qx, qy, qz, qw = qx * qn, qy * qn, qz * qn, qw * qn
-
-        # first-order bodyrate lag
-        wx = alpha * wx + (1.0 - alpha) * wtx
-        wy = alpha * wy + (1.0 - alpha) * wty
-        wz = alpha * wz + (1.0 - alpha) * wtz
+        (px, py, pz, qx, qy, qz, qw, vx, vy, vz, wx, wy, wz) = _dyn_step(
+            (px, py, pz, qx, qy, qz, qw, vx, vy, vz, wx, wy, wz),
+            (act(h, 0), act(h, 1), act(h, 2), act(h, 3)),
+            (fdx, fdy, fdz),
+            m, g, dt, alpha, ascale, max_thrust, mo,
+        )
 
     if batched:
         cost_ref[0, :, :] = cost
@@ -440,3 +457,80 @@ def make_pallas_rollout_batched(env: QuadEnv, interpret: bool = False):
         return costs.reshape(B, N)
 
     return rollout_costs_b
+
+
+def _primal_kernel(
+    x0_ref,  # (16,) f32 SMEM
+    scal_ref,  # (10,) f32 SMEM (discount slot unused)
+    a_ref,  # (H*4,) f32 SMEM — raw (unclipped) nominal actions
+    dist_ref,  # (H*3,) f32 SMEM
+    zs_ref,  # (H*13, 128) f32 VMEM out; pre-step state h at rows h*13..h*13+12
+    *,
+    H: int,
+):
+    m = scal_ref[_M]
+    g = scal_ref[_G]
+    dt = scal_ref[_DT]
+    alpha = scal_ref[_ALPHA]
+    ascale = scal_ref[_ASCALE]
+    max_thrust = scal_ref[_MAX_THRUST]
+    mo = (scal_ref[_MO0], scal_ref[_MO1], scal_ref[_MO2])
+
+    def bc(s):
+        return jnp.full((1, 128), s, dtype=jnp.float32)
+
+    state = tuple(bc(x0_ref[i]) for i in range(13))
+    for h in range(H):
+        for c in range(13):
+            zs_ref[h * 13 + c, :] = state[c][0]
+        action = tuple(a_ref[4 * h + j] for j in range(4))
+        fdist = tuple(dist_ref[3 * h + j] for j in range(3))
+        state = _dyn_step(
+            state, action, fdist, m, g, dt, alpha, ascale, max_thrust, mo
+        )
+
+
+def make_pallas_primal(env: QuadEnv, H: int, interpret: bool = False):
+    """Single-trajectory nominal rollout collecting z_h = (s_h, a_h).
+
+    The adjoint Hessian's primal pass (ops/hessian.py:make_hessian_adjoint
+    step 1) is 32 SEQUENTIAL 13-dim dynamics steps; as an XLA scan each
+    step is its own fusion launch and the chain costs ~0.8 ms — the
+    whole rest of the Hessian hides inside it. In-kernel the chain is
+    ~2k elementwise ops on one (1, 128) tile.
+
+    Same state math as the N-sample kernel (shared _dyn_step); matches the
+    lax.scan primal bit-for-bit up to fp reassociation (pinned in
+    tests/test_covo.py).
+    """
+
+    def primal(x0, a_seq, dist, params):
+        scal = jnp.stack(
+            [
+                params.m, params.g, jnp.float32(env._dt), params.alpha_bodyrate,
+                params.action_scale, params.max_thrust,
+                params.max_omega[0], params.max_omega[1], params.max_omega[2],
+                jnp.float32(1.0),
+            ]
+        ).astype(jnp.float32)
+        zs = pl.pallas_call(
+            functools.partial(_primal_kernel, H=H),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # x0
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # actions
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # disturb table
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((H * 13, 128), jnp.float32),
+            interpret=interpret,
+        )(
+            x0[:16].astype(jnp.float32),
+            scal,
+            a_seq.reshape(-1).astype(jnp.float32),
+            dist.reshape(-1).astype(jnp.float32),
+        )
+        s = zs[:, 0].reshape(H, 13)
+        return jnp.concatenate([s, a_seq], axis=1)  # (H, 17)
+
+    return primal

@@ -66,12 +66,27 @@ class CoVOSolver(BaseSolver):
             raise NotImplementedError(f"unknown CoVO mode {mode!r}")
         if sigma_mode == "eigh":
             self._optimize_sigma = covariance.optimize_sigma
-        elif sigma_mode == "ns":
+        elif sigma_mode in ("ns", "ns_pallas"):
             # matmul-only Newton-Schulz designer; not bit-identical to eigh,
             # so it pairs with the fast/invariant samplers, not parity
             if rng_mode == sampling.PARITY:
-                raise ValueError("sigma_mode='ns' is not a parity path")
-            self._optimize_sigma = covariance.optimize_sigma_ns
+                raise ValueError(f"sigma_mode={sigma_mode!r} is not a parity path")
+            if sigma_mode == "ns":
+                self._optimize_sigma = covariance.optimize_sigma_ns
+            else:
+                # fused single-kernel variant; measured on par with the jnp
+                # path on TPU (XLA already runs the matmul chain at the MXU
+                # floor) — kept for in-kernel fusion headroom
+                from functools import partial as _partial
+
+                from covo_mpc_tpu.ops.covariance_pallas import (
+                    optimize_sigma_ns_pallas,
+                )
+
+                self._optimize_sigma = _partial(
+                    optimize_sigma_ns_pallas,
+                    interpret=(engine == "pallas_interpret"),
+                )
         else:
             raise ValueError(f"unknown sigma_mode {sigma_mode!r}")
         self.N = N
@@ -102,7 +117,10 @@ class CoVOSolver(BaseSolver):
         elif hessian_mode == "adjoint":
             from covo_mpc_tpu.ops.hessian import make_hessian_adjoint
 
-            self._hessian = make_hessian_adjoint(env, H)
+            # with the Pallas rollout engine, also run the Hessian's
+            # sequential primal pass in-kernel (~0.8 ms as an XLA scan)
+            primal = engine if engine.startswith("pallas") else "scan"
+            self._hessian = make_hessian_adjoint(env, H, primal=primal)
         else:
             self._hessian = covariance.make_hessian(
                 make_hessian_cost(env, H, unroll=hessian_unroll), mode=hessian_mode

@@ -147,6 +147,19 @@ class TestOptimizeSigmaNS:
             get_solver(env, "covo_online", PSTR, rng_mode=sampling.PARITY,
                        sigma_mode="ns")
 
+    @pytest.mark.parametrize("scale", [1.0, 100.0])
+    def test_pallas_kernel_matches_jnp(self, scale):
+        from covo_mpc_tpu.ops.covariance_pallas import optimize_sigma_ns_pallas
+
+        key = jax.random.PRNGKey(0)
+        A = jax.random.normal(key, (128, 128))
+        R = (A @ A.T / 128) * scale - 0.3 * scale * jnp.eye(128)
+        c1, f1 = covariance.optimize_sigma_ns(R, 0.5, 128)
+        c2, f2 = optimize_sigma_ns_pallas(R, 0.5, 128, interpret=True)
+        rel = np.linalg.norm(np.asarray(c2 - c1)) / np.linalg.norm(np.asarray(c1))
+        frel = np.linalg.norm(np.asarray(f2 - f1)) / np.linalg.norm(np.asarray(f1))
+        assert rel < 1e-3 and frel < 1e-3, (rel, frel)
+
 
 @pytest.mark.skipif(load_reference() is None, reason="reference unavailable")
 class TestHessian:
@@ -364,6 +377,30 @@ class TestAdjointHessian:
         )(a_mean.flatten(), *args)
         R_adj = make_hessian_adjoint(env, H)(a_mean.flatten(), *args)
         np.testing.assert_allclose(R_adj, R_ad, atol=1e-5, rtol=1e-4)
+
+    @pytest.mark.parametrize("disturb", ["gaussian", "sin", "periodic"])
+    def test_pallas_primal_matches_scan(self, disturb):
+        """In-kernel nominal rollout == the lax.scan primal."""
+        env = QuadEnv(
+            EnvConfig(
+                task="tracking_zigzag", enable_randomizer=False,
+                disturb_type=disturb, disable_rollover_terminate=True,
+                generate_noisy_state=True,
+            )
+        )
+        from covo_mpc_tpu.ops.hessian import make_hessian_adjoint
+
+        _, info, _ = env.reset_env(jax.random.PRNGKey(11), env.default_params)
+        noisy = info["noisy_state"]
+        a = jax.random.normal(jax.random.PRNGKey(7), (32, 4)) * 0.5
+        args = (pack_state(noisy), noisy.time, noisy.pos_traj, noisy.vel_traj,
+                env.default_params, jax.random.PRNGKey(9))
+        R1 = make_hessian_adjoint(env, 32, primal="scan")(a.flatten(), *args)
+        R2 = make_hessian_adjoint(env, 32, primal="pallas_interpret")(
+            a.flatten(), *args
+        )
+        rel = np.linalg.norm(np.asarray(R2 - R1)) / np.linalg.norm(np.asarray(R1))
+        assert rel < 1e-5, rel
 
     def test_solver_end_to_end(self):
         env = make_env()
