@@ -114,8 +114,7 @@ def optimize_sigma_ns(
     *,
     squarings: int = 14,
     ns_iters_rough: int = 18,
-    ns_iters: int = 36,
-    ns_iters_quarter: int = 26,
+    ns_iters: int = 30,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Eigh-free :func:`optimize_sigma`: the same det-preserving ``R^{-1/2}``
     design computed entirely with matmuls + one Cholesky.
@@ -134,11 +133,14 @@ def optimize_sigma_ns(
          of a spread that reaches ~400 in flight (2.5e-6 relative — below
          what fp32 power/Krylov iterations deliver), while the refined
          error is ~1e-4 · floor.
-      3. ``A^{-1/2}`` by coupled Newton–Schulz (:func:`_ns_sqrt`),
-      4. ``log det A`` by one Cholesky (~0.12 ms vs 0.66) for the
-         fixed-determinant constant (covo.py:124-128),
-      5. the sampling factor ``Σ^{1/2} = √c · A^{-1/4}`` by a second
-         Newton–Schulz on ``A^{-1/2}``.
+      3. ``A^{-1/2}`` by coupled Newton–Schulz (:func:`_ns_sqrt`) — 30
+         iterations covers shifted condition up to ~1e8 (growth 1.5x per
+         iteration in the linear phase + 6 for quadratic convergence),
+      4. ONE Cholesky of Z ≈ (A/s)^{-1/2}: its diagonal gives
+         ``log det A = D log s - 4 Σ log diag(L_z)`` for the
+         fixed-determinant constant (covo.py:124-128), and ``L_z`` itself
+         IS a sampling factor — ``Σ = (c/√s) Z = (c/√s) L_z L_zᵀ`` — so
+         no second Newton–Schulz for ``A^{-1/4}`` is needed.
 
     Differences vs. the eigh path are O(top-cluster width) in the shift and
     O(NS residual) in the roots — pinned against eigh in tests on real
@@ -171,20 +173,18 @@ def optimize_sigma_ns(
     s = (lam_max + offset) * 1.05 + 1e-30  # ≥ λ_max(A), tight
     _, Z = _ns_sqrt(A / s, ns_iters)  # Z ≈ (A/s)^{-1/2}
 
-    # 4) fixed-determinant constant (reference: covo.py:124-128)
-    chol = jnp.linalg.cholesky(A)
-    log_det_A = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+    # 4) one Cholesky of Z: logdet + sampling factor in a single shot
+    Z = (Z + Z.T) / 2.0
+    Lz = jnp.linalg.cholesky(Z)
+    # det Z = det(A/s)^{-1/2}  =>  log det A = D log s - 4 Σ log diag(Lz)
+    log_det_A = D * jnp.log(s) - 4.0 * jnp.sum(jnp.log(jnp.diagonal(Lz)))
     log_det_a_cov = D * (jnp.log(sample_sigma) * 2.0)
     log_const = (log_det_a_cov * 2.0 + log_det_A) / D
     c = jnp.exp(0.5 * log_const)
 
-    a_cov = (c / jnp.sqrt(s)) * Z
-    a_cov = (a_cov + a_cov.T) / 2.0
-
-    # 5) Σ^{1/2} = √c · A^{-1/4} = √c · √z_s · s^{-1/4} · (Z/z_s)^{1/2}
-    z_s = jnp.sqrt(s / 5e-3) * 1.05  # ≥ λ_max(Z); 5e-3 cushions the floor
-    W, _ = _ns_sqrt(Z / z_s, ns_iters_quarter)
-    factor = (jnp.sqrt(c) * jnp.sqrt(z_s) / s**0.25) * W
+    scale = c / jnp.sqrt(s)
+    a_cov = scale * Z
+    factor = jnp.sqrt(scale) * Lz  # factor @ factor.T == a_cov
     return a_cov, factor
 
 

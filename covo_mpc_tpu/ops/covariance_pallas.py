@@ -62,8 +62,9 @@ def _ns_sqrt(Ahat, eye, iters: int):
     return jax.lax.fori_loop(0, iters, body, (Ahat, eye))
 
 
-def _logdet_pd(A, D: int):
-    """log det of a PD matrix by symmetric elimination, in-VMEM.
+def _chol_logdet(A, D: int):
+    """(U, log det) of a PD matrix by symmetric elimination, in-VMEM:
+    A = UᵀU with U upper triangular (row j = pivot-row j / √pivot).
 
     At pivot j only row j of the running Schur complement is read; the
     full-matrix rank-1 update writes junk into already-eliminated rows,
@@ -73,15 +74,19 @@ def _logdet_pd(A, D: int):
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1)
 
     def body(j, carry):
-        M, logdet = carry
+        M, U, logdet = carry
         e = (lane == j).astype(jnp.float32)  # (1, D) one-hot
         row = _dot(e, M)  # (1, D)
+        row = jnp.where(lane >= j, row, 0.0)  # clear elimination residue
         piv = jnp.sum(row * e)
         M = M - _dot(row.T, row) / piv
-        return M, logdet + jnp.log(piv)
+        U = U + _dot(e.T, row) / jnp.sqrt(piv)  # write U row j
+        return M, U, logdet + jnp.log(piv)
 
-    _, logdet = jax.lax.fori_loop(0, D, body, (A, jnp.float32(0.0)))
-    return logdet
+    _, U, logdet = jax.lax.fori_loop(
+        0, D, body, (A, jnp.zeros((D, D), jnp.float32), jnp.float32(0.0))
+    )
+    return U, logdet
 
 
 def _sigma_ns_kernel(
@@ -94,7 +99,6 @@ def _sigma_ns_kernel(
     squarings: int,
     ns_iters_rough: int,
     ns_iters: int,
-    ns_iters_quarter: int,
 ):
     R = R_ref[...]
     R = 0.5 * (R + R.T)
@@ -122,24 +126,19 @@ def _sigma_ns_kernel(
     s = (lam_max + offset) * 1.05 + 1e-30
     _, Z = _ns_sqrt(A / s, eye, ns_iters)
 
-    # 4) fixed-determinant constant (covo.py:124-128)
-    log_det_A = _logdet_pd(A, D)
+    # 4) one elimination of Z: logdet + triangular sampling factor
+    # (Z = UᵀU; det Z = det(A/s)^{-1/2} => log det A = D log s - 2 log det Z)
+    Z = 0.5 * (Z + Z.T)
+    U, logdet_Z = _chol_logdet(Z, D)
+    log_det_A = D * jnp.log(s) - 2.0 * logdet_Z
     sigma = sig_ref[0, 0]
     log_det_a_cov = D * (jnp.log(sigma) * 2.0)
     log_const = (log_det_a_cov * 2.0 + log_det_A) / D
     c = jnp.exp(0.5 * log_const)
 
-    a_cov = (c / jnp.sqrt(s)) * Z
-    a_cov = 0.5 * (a_cov + a_cov.T)
-
-    # 5) sampling factor √c · A^{-1/4}
-    z_s = jnp.sqrt(s / 5e-3) * 1.05
-    W, _ = _ns_sqrt(Z / z_s, eye, ns_iters_quarter)
-    # s**0.25 via nested sqrt (Mosaic has no powf lowering)
-    factor = (jnp.sqrt(c) * jnp.sqrt(z_s) / jnp.sqrt(jnp.sqrt(s))) * W
-
-    acov_ref[...] = a_cov
-    factor_ref[...] = factor
+    scale = c / jnp.sqrt(s)
+    acov_ref[...] = scale * Z
+    factor_ref[...] = jnp.sqrt(scale) * U.T  # lower-tri: F @ F.T == a_cov
 
 
 def optimize_sigma_ns_pallas(
@@ -149,8 +148,7 @@ def optimize_sigma_ns_pallas(
     *,
     squarings: int = 14,
     ns_iters_rough: int = 18,
-    ns_iters: int = 36,
-    ns_iters_quarter: int = 26,
+    ns_iters: int = 30,
     interpret: bool = False,
 ):
     """Drop-in for covariance.optimize_sigma_ns, fused into one TPU kernel."""
@@ -162,7 +160,6 @@ def optimize_sigma_ns_pallas(
         squarings=squarings,
         ns_iters_rough=ns_iters_rough,
         ns_iters=ns_iters,
-        ns_iters_quarter=ns_iters_quarter,
     )
     return pl.pallas_call(
         kernel,

@@ -118,8 +118,16 @@ class CoVOSolver(BaseSolver):
             from covo_mpc_tpu.ops.hessian import make_hessian_adjoint
 
             # with the Pallas rollout engine, also run the Hessian's
-            # sequential primal pass in-kernel (~0.8 ms as an XLA scan)
-            primal = engine if engine.startswith("pallas") else "scan"
+            # sequential primal pass in-kernel (~0.8 ms as an XLA scan).
+            # Offline mode instead vmaps the Hessian over the whole episode
+            # schedule (reset, covo.py:92-99): the 300-wide batch amortizes
+            # the scan's launches AND pallas_call does not vmap over its
+            # SMEM operands — keep the scan primal there.
+            primal = (
+                engine
+                if engine.startswith("pallas") and mode == "online"
+                else "scan"
+            )
             self._hessian = make_hessian_adjoint(env, H, primal=primal)
         else:
             self._hessian = covariance.make_hessian(

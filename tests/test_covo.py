@@ -402,6 +402,25 @@ class TestAdjointHessian:
         rel = np.linalg.norm(np.asarray(R2 - R1)) / np.linalg.norm(np.asarray(R1))
         assert rel < 1e-5, rel
 
+    def test_offline_with_pallas_engine(self):
+        """Offline mode vmaps the Hessian over the schedule; the Pallas
+        primal kernel does not vmap (SMEM operands), so the solver must
+        fall back to the scan primal there (regression)."""
+        env = make_env()
+        # N must be tile-aligned (1024) for the pallas rollout engine
+        solver, _ = get_solver(env, "covo_offline", f"N1024_H{H}_lam0.01",
+                               rng_mode=sampling.FAST, hessian_mode="adjoint",
+                               collect_debug=False, engine="pallas_interpret",
+                               sigma_mode="ns")
+        key = jax.random.PRNGKey(42)
+        params = env.default_params
+        obs, info, state = env.reset_env(key, params)
+        cp = solver.reset(state, params, solver.init_control_params,
+                          jax.random.PRNGKey(7))
+        action, cp, _ = solver(obs, state, params, jax.random.PRNGKey(3), cp, info)
+        assert bool(jnp.isfinite(action).all())
+        assert bool(jnp.isfinite(cp.a_cov_offline).all())
+
     def test_solver_end_to_end(self):
         env = make_env()
         solver_a, _ = get_solver(env, "covo_online", PSTR,
