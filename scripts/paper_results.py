@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--out", default="RESULTS.md")
     ap.add_argument("--controllers", nargs="+",
                     default=["pid", "mppi", "covo_online", "covo_offline"])
+    ap.add_argument("--engine", default="pallas", choices=["pallas", "jnp"])
+    ap.add_argument("--sigma-mode", default="ns", choices=["eigh", "ns", "ns_pallas"])
     args = ap.parse_args()
 
     import jax
@@ -54,10 +56,13 @@ def main():
 
     rows = []
     for name in args.controllers:
+        sampled = name != "pid"
         solver, _ = get_solver(
             env, name, pstr, rng_mode=sampling.FAST,
             hessian_mode="adjoint" if "covo" in name else "fwd_fwd",
             collect_debug=False,
+            engine=args.engine if sampled else "jnp",
+            sigma_mode=args.sigma_mode,
         )
         t0 = time.time()
         res = evaluate(env, solver, total_steps=total_steps)
@@ -74,7 +79,8 @@ def main():
         f"{total_steps//1200} reps x 300 steps @ 50 Hz "
         "(reference: quadrotor.py:506-591). Error = mean ||pos - pos_tar|| "
         "over the episode, in cm. Device: "
-        f"{jax.devices()[0]}.",
+        f"{jax.devices()[0]}. Fast path: engine={args.engine}, "
+        f"sigma_mode={args.sigma_mode}, adjoint Hessian, fast sampler.",
         "",
         "| controller | err_pos (cm) | vs MPPI |",
         "|---|---|---|",
@@ -82,7 +88,13 @@ def main():
     for name, mean, std, wall in rows:
         rel = f"{(1 - mean / mppi[1]) * 100:+.1f}%" if mppi and name != "mppi" else "—"
         lines.append(f"| {name} | {mean:.2f} ± {std:.2f} | {rel} |")
-    lines.append("")
+    lines += [
+        "",
+        "The paper (arXiv:2401.07369) reports CoVO-MPC improving tracking "
+        "cost 43-54% over MPPI. Solve throughput for this configuration is "
+        "in `bench.py` / DESIGN.md §5; the N-ablation in RESULTS_N.md.",
+        "",
+    ]
     with open(args.out, "w") as f:
         f.write("\n".join(lines))
     print(json.dumps({r[0]: round(r[1], 2) for r in rows}))
