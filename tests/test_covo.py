@@ -98,6 +98,19 @@ class TestOptimizeSigmaNS:
         _, logdet = jnp.linalg.slogdet(a_cov)
         assert float(logdet) == pytest.approx(64 * 2 * np.log(0.5), abs=1e-2)
 
+    def test_degenerate_hessian(self):
+        """Flat cost (R -> 0): the shifted spectrum is isotropic, so the
+        design must degrade to sigma^2 I without NaNs."""
+        for R in (jnp.zeros((32, 32)), 1e-8 * jnp.eye(32)):
+            a_cov, factor = covariance.optimize_sigma_ns(R, 0.5, 32)
+            assert bool(jnp.isfinite(a_cov).all())
+            np.testing.assert_allclose(
+                np.asarray(a_cov), 0.25 * np.eye(32), atol=1e-3
+            )
+            np.testing.assert_allclose(
+                np.asarray(factor @ factor.T), np.asarray(a_cov), atol=1e-4
+            )
+
     def test_real_rollout_hessian(self):
         from covo_mpc_tpu.ops.hessian import make_hessian_adjoint
         from covo_mpc_tpu.solvers.factory import hover_sequence
