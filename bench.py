@@ -74,6 +74,64 @@ def measure_solve_rate(solver, obs, state, params, info, control_params,
     return per_solve, overhead
 
 
+def bench_scenarios(env, args, k: int = 8):
+    """Aggregate CoVO-online throughput with B domain-randomized scenarios
+    batched on one chip (the per-chip block of BASELINE config #5).
+    Batching amortizes the solve's serial latency (Hessian scan steps,
+    Σ-designer matmul chain) across scenarios."""
+    from covo_mpc_tpu.models.structs import pack_state
+    from covo_mpc_tpu.parallel.scenarios import make_batched_covo_solve
+    from covo_mpc_tpu.solvers import hover_sequence
+
+    B = args.scenarios
+    solve = make_batched_covo_solve(env, args.n, args.h, 0.01)
+    keys = jax.random.split(jax.random.PRNGKey(11), B)
+    params_b = jax.vmap(env.sample_params)(keys)
+    states = jax.vmap(lambda key, p: env.reset_env(key, p)[2])(keys, params_b)
+    x0s = jax.vmap(pack_state)(states)
+    a_means = jnp.tile(hover_sequence(env, args.h)[None], (B, 1, 1))
+
+    def one(carry, _):
+        a_means, key = carry
+        key, k_s = jax.random.split(key)
+        a_means, min_costs = solve(
+            x0s, states.time, states.pos_traj, states.vel_traj,
+            a_means, params_b, k_s,
+        )
+        return (a_means, key), min_costs[0]
+
+    @jax.jit
+    def run(a, key):
+        (a, _), outs = lax.scan(one, (a, key), None, length=k)
+        return jnp.sum(a) + jnp.sum(outs)
+
+    @jax.jit
+    def empty(key):
+        return key + 1
+
+    float(run(a_means, jax.random.PRNGKey(1)))
+    float(empty(jnp.zeros((), jnp.int32)))
+    overhead = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(empty(jnp.zeros((), jnp.int32)))
+        overhead.append(time.perf_counter() - t0)
+    times = []
+    for i in range(4):
+        t0 = time.perf_counter()
+        float(run(a_means, jax.random.fold_in(jax.random.PRNGKey(2), i)))
+        times.append(time.perf_counter() - t0)
+    per_batch = (min(times) - min(overhead)) / k
+    agg = B / per_batch
+    print(
+        f"[bench] covo_online scenario-batched B={B} N={args.n} H={args.h}: "
+        f"{per_batch*1e3:7.3f} ms/batch-step -> {agg:8.1f} aggregate "
+        f"solves/s/chip ({agg/B:.0f}/s/scenario)",
+        file=sys.stderr,
+    )
+    return agg
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8192)
@@ -82,6 +140,9 @@ def main():
     ap.add_argument("--controller", default="covo_online")
     ap.add_argument("--engine", default="pallas", choices=["pallas", "jnp"])
     ap.add_argument("--all", action="store_true", help="also bench mppi/jnp")
+    ap.add_argument("--scenarios", type=int, default=0,
+                    help="also bench the scenario-batched CoVO solve "
+                         "(aggregate solves/s/chip at B scenarios)")
     args = ap.parse_args()
 
     from covo_mpc_tpu.models import EnvConfig, QuadEnv
@@ -128,6 +189,9 @@ def main():
             for e in ("jnp", "pallas"):
                 bench_one(c, e)
         bench_one("covo_online", "pallas", sigma_mode="eigh")
+
+    if args.scenarios:
+        bench_scenarios(env, args, k=args.k)
 
     rate = bench_one(args.controller, args.engine)
     print(

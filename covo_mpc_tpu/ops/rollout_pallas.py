@@ -303,7 +303,10 @@ def make_pallas_rollout(env: QuadEnv, interpret: bool = False):
         if collect_poses:
             raise NotImplementedError("pallas engine does not collect poses")
         N, H, dA = actions.shape
-        assert dA == 4 and N % (SUB * 128) == 0, (N, H, dA)
+        assert dA == 4 and N % (SUB * 128) == 0, (
+            f"pallas rollout needs action_dim=4 and N divisible by {SUB*128} "
+            f"(tile alignment); got N={N}, H={H}, dA={dA}"
+        )
         lanes = N // SUB
         LB = min(512, lanes)
 
@@ -388,7 +391,10 @@ def make_pallas_rollout_batched(env: QuadEnv, interpret: bool = False):
         deterministic: bool = False, discount=1.0,
     ):
         B, N, H, dA = actions.shape
-        assert dA == 4 and N % (SUB * 128) == 0, (B, N, H, dA)
+        assert dA == 4 and N % (SUB * 128) == 0, (
+            f"pallas batched rollout needs action_dim=4 and N divisible by {SUB*128} "
+            f"(tile alignment); got B={B}, N={N}, H={H}, dA={dA}"
+        )
         lanes = N // SUB
         LB = min(512, lanes)
         T = pos_trajs.shape[1]

@@ -84,3 +84,68 @@ def make_multichip_control_step(env, mesh, N: int, H: int, lam: float):
                    P(SCENARIO_AXIS)),
     )
     return jax.jit(sharded)
+
+
+def make_batched_covo_solve(env, N: int, H: int, lam: float,
+                            sample_sigma: float = 0.5,
+                            interpret: bool = False):
+    """Scenario-batched CoVO-online solve on ONE device — the per-chip
+    building block of the pod configuration (BASELINE config #5: 1024 DR
+    scenarios x CoVO-online N=8192, scenarios sharded across chips).
+
+    Batching B scenarios amortizes the solve's SERIAL latency: the
+    Hessian's scan steps and the Σ-designer's dependent matmul chain
+    become B-batched ops (one launch does B scenarios' work), while the
+    fused rollout kernel runs a native (B, lane-tiles) grid
+    (ops/rollout_pallas.make_pallas_rollout_batched). Aggregate
+    solves/s/chip therefore exceeds B x the single-scenario rate's
+    latency-bound fraction — measured with ``bench.py --scenarios B``.
+
+    Returns ``solve(x0s (B,16), t0s (B,), pos_trajs (B,T,3), vel_trajs,
+    a_means (B,H,dA), params_b (leaves batched on axis 0), key) ->
+    (a_means_new (B,H,dA), min_costs (B,))``. RNG: per-scenario
+    ``fold_in(key, b)`` streams (scenario-count invariant), fast sampler.
+    """
+    from covo_mpc_tpu.ops import covariance
+    from covo_mpc_tpu.ops.hessian import make_hessian_adjoint
+    from covo_mpc_tpu.ops.rollout_pallas import make_pallas_rollout_batched
+
+    dA = env.action_dim
+    D = H * dA
+    # scan primal: the B-wide vmap amortizes its launches, and the Pallas
+    # primal kernel cannot vmap over SMEM operands (see solvers/covo.py)
+    hess = make_hessian_adjoint(env, H, primal="scan")
+    rollout_b = make_pallas_rollout_batched(env, interpret=interpret)
+
+    def solve(x0s, t0s, pos_trajs, vel_trajs, a_means, params_b, key):
+        B = a_means.shape[0]
+        # receding-horizon shift of the mean only (reference: covo.py:201-203)
+        a_means = jnp.concatenate([a_means[:, 1:], a_means[:, -1:]], axis=1)
+
+        keys = jax.vmap(lambda b: jax.random.fold_in(key, b))(jnp.arange(B))
+        hess_keys = jax.vmap(lambda k: jax.random.split(k, 3)[0])(keys)
+        act_keys = jax.vmap(lambda k: jax.random.split(k, 3)[1])(keys)
+        step_keys = jax.vmap(lambda k: jax.random.split(k, 3)[2])(keys)
+
+        R = jax.vmap(
+            lambda a, x, t, pt, vt, p, k: hess(a.flatten(), x, t, pt, vt, p, k)
+        )(a_means, x0s, t0s, pos_trajs, vel_trajs, params_b, hess_keys)
+        _, factors = jax.vmap(
+            lambda r: covariance.optimize_sigma_ns(r, sample_sigma, D)
+        )(R)
+
+        z = jax.vmap(lambda k: jax.random.normal(k, (N, D)))(act_keys)
+        a_flat = a_means.reshape(B, 1, D) + jnp.einsum(
+            "bnd,bed->bne", z, factors
+        )
+        a_sampled = jnp.clip(a_flat.reshape(B, N, H, dA), -1.0, 1.0)
+
+        costs = rollout_b(
+            x0s, t0s, pos_trajs, vel_trajs, a_sampled, params_b, step_keys,
+            deterministic=True, discount=1.0,
+        )
+        weights = jax.vmap(lambda c: reductions.mppi_weights(c, lam))(costs)
+        a_means_new = jnp.einsum("bn,bnhd->bhd", weights, a_sampled)
+        return a_means_new, jnp.min(costs, axis=1)
+
+    return jax.jit(solve)

@@ -171,3 +171,58 @@ def test_device_topology():
     topo = device_topology()
     assert topo["global_devices"] == 8
     assert topo["process_count"] == 1
+
+
+def test_batched_covo_solve_matches_per_scenario(setup):
+    """Scenario-batched CoVO-online solve (the per-chip block of the pod
+    config) == the same math run one scenario at a time."""
+    from covo_mpc_tpu.ops.hessian import make_hessian_adjoint
+    from covo_mpc_tpu.ops.rollout_pallas import make_pallas_rollout
+    from covo_mpc_tpu.parallel.scenarios import make_batched_covo_solve
+
+    env, params, _ = setup
+    B, NB, HB = 2, 1024, 4
+    D = HB * env.action_dim
+
+    # two DR scenarios (reference sampler: quadrotor.py:133-171)
+    keys = jax.random.split(jax.random.PRNGKey(5), B)
+    params_b = jax.vmap(env.sample_params)(keys)
+    resets = [
+        env.reset_env(jax.random.fold_in(jax.random.PRNGKey(7), b),
+                      jax.tree.map(lambda x: x[b], params_b))[2]
+        for b in range(B)
+    ]
+    x0s = jnp.stack([pack_state(s) for s in resets])
+    t0s = jnp.stack([s.time for s in resets])
+    pos_trajs = jnp.stack([s.pos_traj for s in resets])
+    vel_trajs = jnp.stack([s.vel_traj for s in resets])
+    a_means = jnp.stack([hover_sequence(env, HB)] * B)
+
+    solve = make_batched_covo_solve(env, NB, HB, 0.01, interpret=True)
+    key = jax.random.PRNGKey(3)
+    a_new, min_costs = solve(x0s, t0s, pos_trajs, vel_trajs, a_means,
+                             params_b, key)
+
+    # per-scenario replication with the same RNG folds
+    hess = make_hessian_adjoint(env, HB, primal="scan")
+    rollout = make_pallas_rollout(env, interpret=True)
+    for b in range(B):
+        pb = jax.tree.map(lambda x: x[b], params_b)
+        kb = jax.random.fold_in(key, b)
+        k_h, k_a, k_s = jax.random.split(kb, 3)
+        am = jnp.concatenate([a_means[b, 1:], a_means[b, -1:]])
+        R = hess(am.flatten(), x0s[b], t0s[b], pos_trajs[b], vel_trajs[b],
+                 pb, k_h)
+        _, F = covariance.optimize_sigma_ns(R, 0.5, D)
+        z = jax.random.normal(k_a, (NB, D))
+        a_s = jnp.clip((am.flatten()[None] + z @ F.T).reshape(NB, HB, 4),
+                       -1.0, 1.0)
+        costs, _ = rollout(x0s[b], t0s[b], pos_trajs[b], vel_trajs[b], a_s,
+                           pb, k_s, deterministic=True, discount=1.0,
+                           collect_poses=False)
+        w = reductions.mppi_weights(costs, 0.01)
+        expect = jnp.einsum("n,nhd->hd", w, a_s)
+        np.testing.assert_allclose(np.asarray(a_new[b]), np.asarray(expect),
+                                   atol=1e-5, err_msg=f"scenario {b}")
+        assert float(min_costs[b]) == pytest.approx(float(jnp.min(costs)),
+                                                    abs=1e-4)
