@@ -87,6 +87,16 @@ def _extreme_eig(B: jnp.ndarray, squarings: int) -> jnp.ndarray:
     return jnp.vdot(M, _mm(B, M)) / (jnp.vdot(M, M) + 1e-30)
 
 
+def _match_vma(x: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
+    """Promote x's varying-manual-axes to include ref's (jax 0.9 shard_map
+    bookkeeping for constant-initialized scan carries; no-op outside
+    shard_map)."""
+    have = getattr(jax.typeof(x), "vma", frozenset())
+    want = getattr(jax.typeof(ref), "vma", frozenset())
+    need = tuple(a for a in want if a not in have)
+    return jax.lax.pcast(x, need, to="varying") if need else x
+
+
 def _ns_sqrt(Ahat: jnp.ndarray, iters: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Coupled Newton–Schulz iteration: ``(Y, Z) → (Ahat^{1/2}, Ahat^{-1/2})``.
 
@@ -103,7 +113,8 @@ def _ns_sqrt(Ahat: jnp.ndarray, iters: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
         T = 0.5 * (eye3 - _mm(Z, Y))
         return (_mm(Y, T), _mm(T, Z)), None
 
-    (Y, Z), _ = jax.lax.scan(body, (Ahat, jnp.eye(D, dtype=Ahat.dtype)), None, length=iters)
+    eye = _match_vma(jnp.eye(D, dtype=Ahat.dtype), Ahat)
+    (Y, Z), _ = jax.lax.scan(body, (Ahat, eye), None, length=iters)
     return Y, Z
 
 

@@ -40,6 +40,16 @@ from covo_mpc_tpu.models.rotation import yaw_from_quat
 _SD = 13  # sensitivity state: pos(3) quat(4) vel(3) omega(3)
 
 
+def _match_vma(x, ref):
+    """Promote x's varying-manual-axes to include ref's (jax 0.9 shard_map
+    bookkeeping: zero-initialized scan carries must match the varying-ness
+    of the data they accumulate; no-op outside shard_map)."""
+    have = getattr(jax.typeof(x), "vma", frozenset())
+    want = getattr(jax.typeof(ref), "vma", frozenset())
+    need = tuple(a for a in want if a not in have)
+    return jax.lax.pcast(x, need, to="varying") if need else x
+
+
 def _step13(s, a, fdist, params, dt):
     """One bodyrate step on the 13-dim core state (reference: free.py:75-112),
     with the action clip of step_env (quadrotor.py:223/258) folded in."""
@@ -276,7 +286,10 @@ def make_hessian_adjoint(env: QuadEnv, H: int, primal: str = "scan"):
             T_h = jnp.concatenate([S1, E], axis=0)  # (17, D)
             return J_h @ T_h, T_h
 
-        _, T = lax.scan(fwd, jnp.zeros((_SD, D)), (J, jnp.arange(H)), unroll=True)  # (H,17,D)
+        _, T = lax.scan(
+            fwd, _match_vma(jnp.zeros((_SD, D)), J), (J, jnp.arange(H)),
+            unroll=True,
+        )  # (H,17,D)
 
         # 4) backward costate: mu_j = w_{j+1} + A_{j+1}^T mu_{j+1}
         A_next = J[1:, :, :_SD][::-1]  # A_{j+1} for j = H-2..0
@@ -287,8 +300,13 @@ def make_hessian_adjoint(env: QuadEnv, H: int, primal: str = "scan"):
             mu = w + A.T @ mu
             return mu, mu
 
-        _, mus_rev = lax.scan(bwd, jnp.zeros(_SD), (A_next, w_next), unroll=True)
-        mus = jnp.concatenate([mus_rev[::-1], jnp.zeros((1, _SD))], axis=0)
+        _, mus_rev = lax.scan(
+            bwd, _match_vma(jnp.zeros(_SD), grad_g), (A_next, w_next),
+            unroll=True,
+        )
+        mus = jnp.concatenate(
+            [mus_rev[::-1], _match_vma(jnp.zeros((1, _SD)), mus_rev)], axis=0
+        )
 
         # 5) per-step quadratic forms, 6) pull back and sum
         M = hess_g + jnp.einsum("hk,hkuv->huv", mus, Hf)  # (H, 17, 17)

@@ -149,3 +149,80 @@ def make_batched_covo_solve(env, N: int, H: int, lam: float,
         return a_means_new, jnp.min(costs, axis=1)
 
     return jax.jit(solve)
+
+
+def make_multichip_covo_step(env, mesh, N: int, H: int, lam: float,
+                             sample_sigma: float = 0.5):
+    """Distributed CoVO-online control step — BASELINE config #5 proper:
+    scenario axis = pure data parallelism (DR episodes), sample axis =
+    sharded rollouts with pmin/psum reductions.
+
+    Per scenario and step: receding-horizon mean shift, adjoint Hessian +
+    Newton-Schulz Σ design (O(D²), independent of N — replicated across
+    the sample shards rather than communicated), sharding-invariant joint
+    sampling, local rollouts, three collectives (pmin + 2 psum), and the
+    auto-resetting environment step.
+
+    Returns ``step(states, params, a_means, keys) -> (states', a_means',
+    rewards, dones)``, everything batched over scenarios on axis 0 and
+    sharded over SCENARIO_AXIS.
+    """
+    from covo_mpc_tpu.ops import covariance
+    from covo_mpc_tpu.ops.hessian import make_hessian_adjoint
+
+    n_sample_shards = mesh.shape[SAMPLE_AXIS]
+    if N % n_sample_shards:
+        raise ValueError(f"N={N} not divisible by {n_sample_shards}")
+    n_local = N // n_sample_shards
+    rollout = make_rollout(env)
+    hess = make_hessian_adjoint(env, H, primal="scan")
+    dA = env.action_dim
+    D = H * dA
+
+    def per_scenario(state, params, a_mean, key):
+        # shift the mean only (reference: covo.py:201-203)
+        a_mean = jnp.concatenate([a_mean[1:], a_mean[-1:]])
+        key, hess_key, act_key, step_key, env_key = jax.random.split(key, 5)
+
+        x0 = pack_state(state)
+        R = hess(a_mean.flatten(), x0, state.time, state.pos_traj,
+                 state.vel_traj, params, hess_key)
+        _, factor = covariance.optimize_sigma_ns(R, sample_sigma, D)
+
+        shard = lax.axis_index(SAMPLE_AXIS)
+        ids = shard * n_local + jnp.arange(n_local)
+        a_local = sampling.sample_joint(
+            act_key, a_mean.flatten(), factor, n_local,
+            mode=sampling.INVARIANT, sample_ids=ids,
+        )
+        a_local = jnp.clip(a_local.reshape(n_local, H, dA), -1.0, 1.0)
+
+        costs, _ = rollout(
+            x0, state.time, state.pos_traj, state.vel_traj,
+            a_local, params, step_key,
+            deterministic=True, discount=1.0, collect_poses=False,
+            vary_axes=(SAMPLE_AXIS, SCENARIO_AXIS),
+        )
+        min_cost = lax.pmin(jnp.min(costs), SAMPLE_AXIS)
+        unnorm, local_norm = reductions.weights_from_stats(costs, min_cost, lam)
+        weight = unnorm / lax.psum(local_norm, SAMPLE_AXIS)
+        a_mean_new = lax.psum(
+            jnp.einsum("n,nhd->hd", weight, a_local), SAMPLE_AXIS
+        )
+
+        action = a_mean_new[0]
+        obs, state_new, reward, done, info = env.step(env_key, state, action, params)
+        return state_new, a_mean_new, reward, done
+
+    def local_step(states, params, a_means, keys):
+        return jax.vmap(per_scenario)(states, params, a_means, keys)
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(SCENARIO_AXIS), P(SCENARIO_AXIS), P(SCENARIO_AXIS),
+                  P(SCENARIO_AXIS)),
+        out_specs=(P(SCENARIO_AXIS), P(SCENARIO_AXIS), P(SCENARIO_AXIS),
+                   P(SCENARIO_AXIS)),
+    )
+    return jax.jit(sharded)

@@ -226,3 +226,31 @@ def test_batched_covo_solve_matches_per_scenario(setup):
                                    atol=1e-5, err_msg=f"scenario {b}")
         assert float(min_costs[b]) == pytest.approx(float(jnp.min(costs)),
                                                     abs=1e-4)
+
+
+def test_multichip_covo_step(setup):
+    """Distributed CoVO-online step (BASELINE config #5): runs on a
+    scenario x sample mesh and is invariant to the sample-shard count."""
+    from covo_mpc_tpu.parallel.scenarios import make_multichip_covo_step
+
+    env, params, _ = setup
+    B, n_samples = 2, 32
+    keys = jax.random.split(jax.random.PRNGKey(1), B)
+    scen_params = jax.vmap(env.sample_params)(keys)
+    states = jax.vmap(lambda k, p: env.reset_env(k, p)[2])(keys, scen_params)
+    a_means = jnp.tile(hover_sequence(env, H)[None], (B, 1, 1))
+
+    outs = {}
+    for samples in (1, 4):
+        mesh = make_mesh(samples=samples, scenarios=2,
+                         devices=jax.devices()[: 2 * samples])
+        step = make_multichip_covo_step(env, mesh, N=n_samples, H=H, lam=0.01)
+        states2, a_means2, rewards, dones = step(states, scen_params,
+                                                 a_means, keys)
+        assert rewards.shape == (B,)
+        assert bool(jnp.all(jnp.isfinite(rewards)))
+        assert float(jnp.max(jnp.abs(a_means2 - a_means))) > 0.0
+        outs[samples] = np.asarray(a_means2)
+
+    # invariant sampler => identical result at any sample-shard count
+    np.testing.assert_allclose(outs[1], outs[4], atol=1e-5)
