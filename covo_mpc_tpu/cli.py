@@ -44,7 +44,7 @@ def main(argv=None) -> int:
     from covo_mpc_tpu.models import EnvConfig, QuadEnv
     from covo_mpc_tpu.runtime import evaluate
     from covo_mpc_tpu.runtime.checkpoint import save_eval_result
-    from covo_mpc_tpu.runtime.profiling import time_blocking
+    from covo_mpc_tpu.runtime.profiling import time_blocking, time_chained
     from covo_mpc_tpu.runtime.render import render_episode, save_trace
     from covo_mpc_tpu.solvers import get_solver
     from covo_mpc_tpu.utils.plotting import plot_episode, plot_eval_errors
@@ -100,8 +100,11 @@ def main(argv=None) -> int:
 
         stats = time_blocking(jax.jit(solve), iters=20, warmup=2,
                               key=jax.random.PRNGKey(1))
-        print(json.dumps({k: round(v, 6) if isinstance(v, float) else v
-                          for k, v in stats.items()}))
+        amort = time_chained(jax.jit(solve), jax.random.PRNGKey(1))
+        rnd = lambda d: {k: round(v, 6) if isinstance(v, float) else v
+                         for k, v in d.items()}
+        print(json.dumps({"per_dispatch": rnd(stats),
+                          "amortized_per_solve": rnd(amort)}))
     else:
         raise SystemExit(f"unknown mode {cfg.mode!r}")
     return 0

@@ -15,17 +15,31 @@ import jax
 import numpy as np
 
 
-def time_blocking(fn: Callable, iters: int = 30, warmup: int = 2, *args, **kw):
-    """Latency stats of a device function (blocks on the result each call).
+def _sync(out):
+    """Synchronize on a device result by TRANSFERRING one leaf.
 
+    `jax.block_until_ready` does not actually block on tunneled backends
+    (axon) — timings that only block read ~1000x too fast; a device_get
+    cannot lie."""
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(jax.device_get(leaf))
+    return out
+
+
+def time_blocking(fn: Callable, iters: int = 30, warmup: int = 2, *args, **kw):
+    """Per-call latency stats of a device function (syncs via transfer).
+
+    Includes host->device dispatch (~24 ms/round-trip on a tunneled TPU) —
+    this is the latency a host-in-the-loop controller would see. For the
+    on-device solve rate use :func:`time_chained`.
     Returns dict with p50/p90/p99/mean seconds over `iters` calls.
     """
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args, **kw))
+        _sync(fn(*args, **kw))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args, **kw))
+        _sync(fn(*args, **kw))
         times.append(time.perf_counter() - t0)
     arr = np.sort(np.array(times))
     return {
@@ -34,6 +48,56 @@ def time_blocking(fn: Callable, iters: int = 30, warmup: int = 2, *args, **kw):
         "p99": float(np.percentile(arr, 99)),
         "mean": float(arr.mean()),
         "iters": iters,
+    }
+
+
+def time_chained(fn: Callable, key, iters: int = 8, k: int = 32, warmup: int = 1):
+    """Amortized per-call device-time stats: chains ``k`` dependent calls of
+    ``fn(key) -> array`` inside one jitted `lax.scan` per measurement, so
+    dispatch latency spreads over k (the shape a deployed control loop
+    runs). Returns p50/p90/p99/mean seconds PER CALL over `iters` batches.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def run(key):
+        def one(c, _):
+            key, acc = c
+            key, sub = jax.random.split(key)
+            out = fn(sub)
+            return (key, acc + jnp.sum(out) * 1e-20), ()
+
+        (key, acc), _ = lax.scan(one, (key, jnp.float32(0.0)), None, length=k)
+        return acc
+
+    @jax.jit
+    def empty(x):
+        return x + 1
+
+    for _ in range(warmup):
+        _sync(run(key))
+    _sync(empty(jnp.zeros((), jnp.int32)))
+    overhead = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _sync(empty(jnp.zeros((), jnp.int32)))
+        overhead.append(time.perf_counter() - t0)
+    dispatch = min(overhead)
+    times = []
+    for i in range(iters):
+        sub = jax.random.fold_in(key, i)
+        t0 = time.perf_counter()
+        _sync(run(sub))
+        times.append(max(time.perf_counter() - t0 - dispatch, 0.0) / k)
+    arr = np.sort(np.array(times))
+    return {
+        "p50": float(np.percentile(arr, 50)),
+        "p90": float(np.percentile(arr, 90)),
+        "p99": float(np.percentile(arr, 99)),
+        "mean": float(arr.mean()),
+        "iters": iters,
+        "chained": k,
     }
 
 

@@ -171,3 +171,12 @@ def test_debug_checked_solver():
         action, cp2, _ = solve(obs, state, env.default_params,
                                jax.random.PRNGKey(1), cp, info)
     assert np.all(np.isfinite(np.asarray(action)))
+
+
+def test_time_chained_stats():
+    from covo_mpc_tpu.runtime.profiling import time_chained
+
+    stats = time_chained(lambda k: jax.random.normal(k, (8,)),
+                         jax.random.PRNGKey(0), iters=3, k=4)
+    assert set(stats) >= {"p50", "p90", "p99", "mean", "chained"}
+    assert stats["p50"] >= 0.0 and stats["p99"] >= stats["p50"]
