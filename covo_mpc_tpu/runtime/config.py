@@ -28,8 +28,8 @@ class RunConfig:
     # TPU-native knobs
     rng_mode: str = "fast"  # parity | fast | invariant
     hessian_mode: str = "fwd_rev"  # fwd_fwd (reference) | fwd_rev | sensitivity | adjoint
-    engine: str = "jnp"  # jnp | pallas (fused rollout kernel; TPU only)
-    sigma_mode: str = "eigh"  # eigh | ns (matmul-only Newton-Schulz designer)
+    engine: str = "auto"  # auto | jnp | pallas (fused rollout kernel; TPU only)
+    sigma_mode: str = "auto"  # auto | eigh | ns | ns_pallas (NS = matmul-only designer)
     total_steps: int = 300 * 4 * 10
     seed: int = 1
     results_dir: str = "results"

@@ -30,6 +30,32 @@ def parse_sample_params(param_text: str):
     return int(parts[0][1:]), int(parts[1][1:]), float(parts[2][3:]), DEFAULT_SIGMA
 
 
+def resolve_engine(env, N: int, engine: str, collect_debug: bool) -> str:
+    """Resolve engine="auto": the fused Pallas rollout when it applies
+    (TPU backend, tile-aligned N, state-independent disturbance, no debug
+    pose collection), else the jnp engine."""
+    if engine != "auto":
+        return engine
+    import jax
+
+    if (
+        jax.default_backend() not in ("cpu",)
+        and N % 1024 == 0
+        and env.config.disturb_type not in ("drag", "mixed")
+        and not collect_debug
+    ):
+        return "pallas"
+    return "jnp"
+
+
+def resolve_sigma_mode(sigma_mode: str, rng_mode: str) -> str:
+    """Resolve sigma_mode="auto": the matmul-only Newton-Schulz designer
+    for the fast/invariant samplers, eigh for parity (bit-compat)."""
+    if sigma_mode != "auto":
+        return sigma_mode
+    return "eigh" if rng_mode == sampling.PARITY else "ns"
+
+
 def hover_sequence(env, H: int) -> jnp.ndarray:
     """Initial nominal sequence: normalized hover thrust, zero body rates
     (reference: quadrotor.py:685-690)."""
@@ -64,6 +90,8 @@ def get_solver(
     N, H, lam, sigma = parse_sample_params(controller_params)
     if debug:
         N, H = 4, 2  # fast-feedback smoke config (reference: quadrotor.py:705-707)
+    engine = resolve_engine(env, N, engine, collect_debug)
+    sigma_mode = resolve_sigma_mode(sigma_mode, rng_mode)
     a_mean = hover_sequence(env, H)
 
     if name == "mppi":

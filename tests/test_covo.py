@@ -451,3 +451,29 @@ class TestAdjointHessian:
                               solver_f.init_control_params, info)
         np.testing.assert_allclose(a1, a2, atol=1e-3)
         np.testing.assert_allclose(cp1.a_cov, cp2.a_cov, atol=1e-3)
+
+
+class TestAutoResolution:
+    def test_engine_auto_cpu_falls_back_to_jnp(self):
+        # conftest pins the CPU backend, so auto must pick jnp
+        env = make_env()
+        solver, _ = get_solver(env, "covo_online", "N1024_H4_lam0.01",
+                               rng_mode=sampling.FAST, engine="auto",
+                               collect_debug=False, hessian_mode="adjoint")
+        from covo_mpc_tpu.ops.rollout import make_rollout  # noqa: F401
+        assert solver.rollout.__qualname__.startswith("make_rollout")
+
+    def test_sigma_auto(self):
+        from covo_mpc_tpu.ops import covariance
+        from covo_mpc_tpu.solvers.factory import resolve_sigma_mode
+
+        assert resolve_sigma_mode("auto", sampling.PARITY) == "eigh"
+        assert resolve_sigma_mode("auto", sampling.FAST) == "ns"
+        assert resolve_sigma_mode("eigh", sampling.FAST) == "eigh"
+        env = make_env()
+        s, _ = get_solver(env, "covo_online", PSTR, rng_mode=sampling.FAST,
+                          sigma_mode="auto", collect_debug=False)
+        assert s._optimize_sigma is covariance.optimize_sigma_ns
+        s, _ = get_solver(env, "covo_online", PSTR, rng_mode=sampling.PARITY,
+                          sigma_mode="auto")
+        assert s._optimize_sigma is covariance.optimize_sigma
