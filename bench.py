@@ -48,19 +48,21 @@ def measure_solve_rate(solver, obs, state, params, info, control_params,
     @jax.jit
     def run(cp, key):
         (cp, _), outs = lax.scan(one, (cp, key), None, length=k)
-        return cp.a_mean, outs
+        return jnp.sum(cp.a_mean) + jnp.sum(outs)
 
     @jax.jit
     def empty(key):
         return key + 1
 
-    jax.block_until_ready(run(control_params, jax.random.PRNGKey(1)))
-    jax.block_until_ready(empty(jnp.zeros((), jnp.int32)))
+    # sync by TRANSFERRING the scalar result: jax.block_until_ready does
+    # not actually block on the tunneled axon backend (see CLAUDE.md)
+    float(run(control_params, jax.random.PRNGKey(1)))
+    float(empty(jnp.zeros((), jnp.int32)))
 
     overhead = []
     for _ in range(5):
         t0 = time.perf_counter()
-        jax.block_until_ready(empty(jnp.zeros((), jnp.int32)))
+        float(empty(jnp.zeros((), jnp.int32)))
         overhead.append(time.perf_counter() - t0)
     overhead = min(overhead)
 
@@ -68,7 +70,7 @@ def measure_solve_rate(solver, obs, state, params, info, control_params,
     for i in range(reps):
         key = jax.random.fold_in(jax.random.PRNGKey(2), i)
         t0 = time.perf_counter()
-        jax.block_until_ready(run(control_params, key))
+        float(run(control_params, key))
         times.append(time.perf_counter() - t0)
     per_solve = (min(times) - overhead) / k
     return per_solve, overhead

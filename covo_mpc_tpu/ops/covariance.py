@@ -20,6 +20,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from covo_mpc_tpu.utils.vma import match_vma
+
 FWD_FWD = "fwd_fwd"  # jacfwd ∘ jacfwd: the reference's estimator (covo.py:183-185)
 FWD_REV = "fwd_rev"  # jacfwd ∘ grad: one backward pass per tangent, ~D× cheaper
 
@@ -87,16 +89,6 @@ def _extreme_eig(B: jnp.ndarray, squarings: int) -> jnp.ndarray:
     return jnp.vdot(M, _mm(B, M)) / (jnp.vdot(M, M) + 1e-30)
 
 
-def _match_vma(x: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
-    """Promote x's varying-manual-axes to include ref's (jax 0.9 shard_map
-    bookkeeping for constant-initialized scan carries; no-op outside
-    shard_map)."""
-    have = getattr(jax.typeof(x), "vma", frozenset())
-    want = getattr(jax.typeof(ref), "vma", frozenset())
-    need = tuple(a for a in want if a not in have)
-    return jax.lax.pcast(x, need, to="varying") if need else x
-
-
 def _ns_sqrt(Ahat: jnp.ndarray, iters: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Coupled Newton–Schulz iteration: ``(Y, Z) → (Ahat^{1/2}, Ahat^{-1/2})``.
 
@@ -113,7 +105,7 @@ def _ns_sqrt(Ahat: jnp.ndarray, iters: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
         T = 0.5 * (eye3 - _mm(Z, Y))
         return (_mm(Y, T), _mm(T, Z)), None
 
-    eye = _match_vma(jnp.eye(D, dtype=Ahat.dtype), Ahat)
+    eye = match_vma(jnp.eye(D, dtype=Ahat.dtype), Ahat)
     (Y, Z), _ = jax.lax.scan(body, (Ahat, eye), None, length=iters)
     return Y, Z
 

@@ -36,18 +36,10 @@ from jax import lax
 from covo_mpc_tpu.models import dynamics, rotation
 from covo_mpc_tpu.models.quad_env import QuadEnv
 from covo_mpc_tpu.models.rotation import yaw_from_quat
+from covo_mpc_tpu.utils.vma import match_vma
 
 _SD = 13  # sensitivity state: pos(3) quat(4) vel(3) omega(3)
 
-
-def _match_vma(x, ref):
-    """Promote x's varying-manual-axes to include ref's (jax 0.9 shard_map
-    bookkeeping: zero-initialized scan carries must match the varying-ness
-    of the data they accumulate; no-op outside shard_map)."""
-    have = getattr(jax.typeof(x), "vma", frozenset())
-    want = getattr(jax.typeof(ref), "vma", frozenset())
-    need = tuple(a for a in want if a not in have)
-    return jax.lax.pcast(x, need, to="varying") if need else x
 
 
 def _step13(s, a, fdist, params, dt):
@@ -287,7 +279,7 @@ def make_hessian_adjoint(env: QuadEnv, H: int, primal: str = "scan"):
             return J_h @ T_h, T_h
 
         _, T = lax.scan(
-            fwd, _match_vma(jnp.zeros((_SD, D)), J), (J, jnp.arange(H)),
+            fwd, match_vma(jnp.zeros((_SD, D)), J), (J, jnp.arange(H)),
             unroll=True,
         )  # (H,17,D)
 
@@ -301,11 +293,11 @@ def make_hessian_adjoint(env: QuadEnv, H: int, primal: str = "scan"):
             return mu, mu
 
         _, mus_rev = lax.scan(
-            bwd, _match_vma(jnp.zeros(_SD), grad_g), (A_next, w_next),
+            bwd, match_vma(jnp.zeros(_SD), grad_g), (A_next, w_next),
             unroll=True,
         )
         mus = jnp.concatenate(
-            [mus_rev[::-1], _match_vma(jnp.zeros((1, _SD)), mus_rev)], axis=0
+            [mus_rev[::-1], match_vma(jnp.zeros((1, _SD)), mus_rev)], axis=0
         )
 
         # 5) per-step quadratic forms, 6) pull back and sum

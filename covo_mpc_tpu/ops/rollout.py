@@ -29,15 +29,9 @@ from jax import lax
 from covo_mpc_tpu.models import dynamics, rewards
 from covo_mpc_tpu.models.quad_env import QuadEnv
 from covo_mpc_tpu.models.structs import FDIST, OMEGA, POS, QUAT, VEL
+from covo_mpc_tpu.utils.vma import pvary
 
 
-def _pvary(x, axes):
-    """Promote x to "varying" over any of `axes` it is not already varying
-    over (shard_map varying-manual-axes bookkeeping; a no-op outside
-    shard_map would be an error, so callers only pass axes when sharded)."""
-    have = getattr(jax.core.get_aval(x), "vma", frozenset())
-    need = tuple(a for a in axes if a not in have)
-    return jax.lax.pcast(x, need, to="varying") if need else x
 
 
 def _make_reward(env: QuadEnv):
@@ -125,9 +119,9 @@ def make_rollout(env: QuadEnv):
             # Under shard_map the per-shard sampled actions are "varying"
             # over the mesh axes while these carry inits are replicated;
             # promote them so the scan carry types agree (shard_map VMA).
-            x = _pvary(x, vary_axes)
-            init_r = _pvary(init_r, vary_axes)
-            init_d = _pvary(init_d, vary_axes)
+            x = pvary(x, vary_axes)
+            init_r = pvary(init_r, vary_axes)
+            init_d = pvary(init_d, vary_axes)
 
         def step(carry, inp):
             x, r_prev, d_prev = carry

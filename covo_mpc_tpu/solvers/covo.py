@@ -83,9 +83,14 @@ class CoVOSolver(BaseSolver):
                     optimize_sigma_ns_pallas,
                 )
 
+                # the Σ kernel is TPU-only; interpret everywhere else so
+                # ns_pallas works regardless of the rollout engine choice
                 self._optimize_sigma = _partial(
                     optimize_sigma_ns_pallas,
-                    interpret=(engine == "pallas_interpret"),
+                    interpret=(
+                        engine == "pallas_interpret"
+                        or jax.default_backend() != "tpu"
+                    ),
                 )
         else:
             raise ValueError(f"unknown sigma_mode {sigma_mode!r}")

@@ -39,7 +39,7 @@ def resolve_engine(env, N: int, engine: str, collect_debug: bool) -> str:
     import jax
 
     if (
-        jax.default_backend() not in ("cpu",)
+        jax.default_backend() == "tpu"
         and N % 1024 == 0
         and env.config.disturb_type not in ("drag", "mixed")
         and not collect_debug
