@@ -2,7 +2,11 @@
 
 from covo_mpc_tpu.parallel.distributed import device_topology, initialize_distributed
 from covo_mpc_tpu.parallel.mesh import SAMPLE_AXIS, SCENARIO_AXIS, make_mesh
-from covo_mpc_tpu.parallel.scenarios import make_multichip_control_step
+from covo_mpc_tpu.parallel.scenarios import (
+    make_batched_covo_solve,
+    make_multichip_control_step,
+    make_multichip_covo_step,
+)
 from covo_mpc_tpu.parallel.sharded import (
     make_sharded_covo_sample_rollout,
     make_sharded_mppi_solve,
@@ -14,7 +18,9 @@ __all__ = [
     "device_topology",
     "initialize_distributed",
     "make_mesh",
+    "make_batched_covo_solve",
     "make_multichip_control_step",
+    "make_multichip_covo_step",
     "make_sharded_covo_sample_rollout",
     "make_sharded_mppi_solve",
 ]
