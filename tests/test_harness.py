@@ -180,3 +180,40 @@ def test_time_chained_stats():
                          jax.random.PRNGKey(0), iters=3, k=4)
     assert set(stats) >= {"p50", "p90", "p99", "mean", "chained"}
     assert stats["p50"] >= 0.0 and stats["p99"] >= stats["p50"]
+
+
+def test_evaluate_rejects_subepisode_budget():
+    from covo_mpc_tpu.runtime.eval import evaluate
+
+    env = QuadEnv(EnvConfig(task="tracking", enable_randomizer=False,
+                            disturb_type="gaussian",
+                            disable_rollover_terminate=True,
+                            generate_noisy_state=True))
+    solver, _ = get_solver(env, "pid", "")
+    with pytest.raises(ValueError):
+        evaluate(env, solver, total_steps=100)
+
+
+def test_evaluate_small_budget_uses_fewer_trajs():
+    """2 episodes with 4 reset trajectories must run 2 episodes, not 0
+    (regression: the reference's loop nesting averages an empty list to
+    nan, quadrotor.py:564-573)."""
+    from covo_mpc_tpu.runtime.eval import evaluate
+
+    env = QuadEnv(EnvConfig(task="tracking", enable_randomizer=False,
+                            disturb_type="gaussian",
+                            disable_rollover_terminate=True,
+                            generate_noisy_state=True))
+    solver, _ = get_solver(env, "pid", "")
+    res = evaluate(env, solver, total_steps=600)
+    assert res.err_pos_ep.shape == (2,)
+    assert np.isfinite(res.mean)
+
+
+def test_vma_helpers_noop_outside_shard_map():
+    from covo_mpc_tpu.utils.vma import match_vma, pvary
+
+    x = jnp.zeros((3, 3))
+    ref = jnp.ones((3, 3))
+    assert pvary(x, ()) is x
+    np.testing.assert_array_equal(match_vma(x, ref), x)
