@@ -308,7 +308,12 @@ def make_pallas_rollout(env: QuadEnv, interpret: bool = False):
             f"(tile alignment); got N={N}, H={H}, dA={dA}"
         )
         lanes = N // SUB
+        # lane-block size must DIVIDE lanes or the tail blocks are never
+        # computed (grid = lanes // LB): N % 1024 == 0 guarantees
+        # lanes % 128 == 0, so halving from 512 always terminates
         LB = min(512, lanes)
+        while lanes % LB:
+            LB //= 2
 
         T = pos_traj.shape[0]
         idx = jnp.clip(t0 + jnp.arange(H), 0, T - 1)
@@ -396,7 +401,12 @@ def make_pallas_rollout_batched(env: QuadEnv, interpret: bool = False):
             f"(tile alignment); got B={B}, N={N}, H={H}, dA={dA}"
         )
         lanes = N // SUB
+        # lane-block size must DIVIDE lanes or the tail blocks are never
+        # computed (grid = lanes // LB): N % 1024 == 0 guarantees
+        # lanes % 128 == 0, so halving from 512 always terminates
         LB = min(512, lanes)
+        while lanes % LB:
+            LB //= 2
         T = pos_trajs.shape[1]
 
         def per_scenario_tables(x0, t0, pos_traj, vel_traj, params, step_key):

@@ -34,8 +34,10 @@ def _std_normal(key, N, shape, mode, sample_ids=None):
     if mode == FAST:
         return jax.random.normal(key, (N,) + shape)
     if mode == INVARIANT:
+        from covo_mpc_tpu.utils.keys import fold_in_batch
+
         ids = sample_ids if sample_ids is not None else jnp.arange(N)
-        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(ids)
+        keys = fold_in_batch(key, ids)
         return jax.vmap(lambda k: jax.random.normal(k, shape))(keys)
     raise ValueError(f"unknown rng mode {mode!r}")
 

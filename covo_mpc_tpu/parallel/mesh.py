@@ -38,5 +38,10 @@ def make_mesh(
         raise ValueError(
             f"mesh {samples}x{scenarios} != {len(devices)} devices"
         )
-    grid = np.array(devices).reshape(samples, scenarios)
-    return Mesh(grid, (SAMPLE_AXIS, SCENARIO_AXIS))
+    # samples must be the CONTIGUOUS (fast, ICI-adjacent) device axis:
+    # its 3 per-solve collectives are latency-bound, while scenarios need
+    # no per-solve communication and may span hosts/DCN. A C-order
+    # reshape(samples, scenarios) would stride the sample groups across
+    # the device list, putting them on the slow axis.
+    grid = np.array(devices).reshape(scenarios, samples)
+    return Mesh(grid, (SCENARIO_AXIS, SAMPLE_AXIS))

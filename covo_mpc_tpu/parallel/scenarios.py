@@ -122,7 +122,9 @@ def make_batched_covo_solve(env, N: int, H: int, lam: float,
         # receding-horizon shift of the mean only (reference: covo.py:201-203)
         a_means = jnp.concatenate([a_means[:, 1:], a_means[:, -1:]], axis=1)
 
-        keys = jax.vmap(lambda b: jax.random.fold_in(key, b))(jnp.arange(B))
+        from covo_mpc_tpu.utils.keys import fold_in_batch
+
+        keys = fold_in_batch(key, jnp.arange(B))
         hess_keys = jax.vmap(lambda k: jax.random.split(k, 3)[0])(keys)
         act_keys = jax.vmap(lambda k: jax.random.split(k, 3)[1])(keys)
         step_keys = jax.vmap(lambda k: jax.random.split(k, 3)[2])(keys)

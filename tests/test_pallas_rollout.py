@@ -192,3 +192,24 @@ def test_batched_kernel_matches_jnp():
         )
         np.testing.assert_allclose(got[b], ref, atol=2e-4, rtol=1e-5,
                                    err_msg=f"scenario {b}")
+
+
+@pytest.mark.parametrize("n", [5120, 6144])
+def test_non_power_of_two_lane_blocks(n):
+    """N divisible by 1024 but with lanes % 512 != 0 must still cover every
+    tile (regression: grid = lanes // LB skipped the tail blocks and left
+    the last samples' costs uninitialized)."""
+    env = make_env(task="tracking_zigzag")
+    _, info, state = env.reset_env(jax.random.PRNGKey(0), env.default_params)
+    x0 = pack_state(state)
+    a = jax.random.normal(jax.random.PRNGKey(1), (n, 4, 4)) * 0.3
+    cj, _ = make_rollout(env)(
+        x0, state.time, state.pos_traj, state.vel_traj, a, env.default_params,
+        jax.random.PRNGKey(2), deterministic=True, discount=1.0,
+    )
+    cp, _ = make_pallas_rollout(env, interpret=True)(
+        x0, state.time, state.pos_traj, state.vel_traj, a, env.default_params,
+        jax.random.PRNGKey(2), deterministic=True, discount=1.0,
+        collect_poses=False,
+    )
+    np.testing.assert_allclose(np.asarray(cp), np.asarray(cj), atol=2e-4)
