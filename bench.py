@@ -36,43 +36,47 @@ from jax import lax
 
 def measure_solve_rate(solver, obs, state, params, info, control_params,
                        k: int = 32, reps: int = 5):
-    """Amortized per-solve seconds: scan K solves in one dispatch, subtract
-    the measured empty-dispatch overhead, divide by K."""
+    """Amortized per-solve seconds via a two-point fit: time K and 5K solves
+    chained in one dispatch each and take the slope. The ~25 ms tunnel
+    dispatch overhead cancels exactly in the difference — subtracting a
+    proxy empty-dispatch measurement instead lets its ±2 ms run-to-run
+    wobble corrupt a K=32 measurement (~6 ms of device work) by ~50%.
+    Reps of the two lengths are interleaved so both sample the same
+    contention environment; min-of-reps at each length before the slope."""
 
-    def one(carry, _):
-        cp, key = carry
-        key, k_act = jax.random.split(key)
-        action, cp, _ = solver(obs, state, params, k_act, cp, info)
-        return (cp, key), action[0]
+    def make_run(length):
+        def one(carry, _):
+            cp, key = carry
+            key, k_act = jax.random.split(key)
+            action, cp, _ = solver(obs, state, params, k_act, cp, info)
+            return (cp, key), action[0]
 
-    @jax.jit
-    def run(cp, key):
-        (cp, _), outs = lax.scan(one, (cp, key), None, length=k)
-        return jnp.sum(cp.a_mean) + jnp.sum(outs)
+        @jax.jit
+        def run(cp, key):
+            (cp, _), outs = lax.scan(one, (cp, key), None, length=length)
+            return jnp.sum(cp.a_mean) + jnp.sum(outs)
 
-    @jax.jit
-    def empty(key):
-        return key + 1
+        return run
+
+    k2 = 5 * k
+    run1, run2 = make_run(k), make_run(k2)
 
     # sync by TRANSFERRING the scalar result: jax.block_until_ready does
     # not actually block on the tunneled axon backend (see CLAUDE.md)
-    float(run(control_params, jax.random.PRNGKey(1)))
-    float(empty(jnp.zeros((), jnp.int32)))
+    float(run1(control_params, jax.random.PRNGKey(1)))
+    float(run2(control_params, jax.random.PRNGKey(1)))
 
-    overhead = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(empty(jnp.zeros((), jnp.int32)))
-        overhead.append(time.perf_counter() - t0)
-    overhead = min(overhead)
-
-    times = []
+    t1s, t2s = [], []
     for i in range(reps):
         key = jax.random.fold_in(jax.random.PRNGKey(2), i)
         t0 = time.perf_counter()
-        float(run(control_params, key))
-        times.append(time.perf_counter() - t0)
-    per_solve = (min(times) - overhead) / k
+        float(run1(control_params, key))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(run2(control_params, key))
+        t2s.append(time.perf_counter() - t0)
+    per_solve = (min(t2s) - min(t1s)) / (k2 - k)
+    overhead = min(t1s) - k * per_solve  # implied dispatch overhead
     return per_solve, overhead
 
 
@@ -93,37 +97,39 @@ def bench_scenarios(env, args, k: int = 8):
     x0s = jax.vmap(pack_state)(states)
     a_means = jnp.tile(hover_sequence(env, args.h)[None], (B, 1, 1))
 
-    def one(carry, _):
-        a_means, key = carry
-        key, k_s = jax.random.split(key)
-        a_means, min_costs = solve(
-            x0s, states.time, states.pos_traj, states.vel_traj,
-            a_means, params_b, k_s,
-        )
-        return (a_means, key), min_costs[0]
+    def make_run(length):
+        def one(carry, _):
+            a_means, key = carry
+            key, k_s = jax.random.split(key)
+            a_means, min_costs = solve(
+                x0s, states.time, states.pos_traj, states.vel_traj,
+                a_means, params_b, k_s,
+            )
+            return (a_means, key), min_costs[0]
 
-    @jax.jit
-    def run(a, key):
-        (a, _), outs = lax.scan(one, (a, key), None, length=k)
-        return jnp.sum(a) + jnp.sum(outs)
+        @jax.jit
+        def run(a, key):
+            (a, _), outs = lax.scan(one, (a, key), None, length=length)
+            return jnp.sum(a) + jnp.sum(outs)
 
-    @jax.jit
-    def empty(key):
-        return key + 1
+        return run
 
-    float(run(a_means, jax.random.PRNGKey(1)))
-    float(empty(jnp.zeros((), jnp.int32)))
-    overhead = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(empty(jnp.zeros((), jnp.int32)))
-        overhead.append(time.perf_counter() - t0)
-    times = []
+    # two-point fit: dispatch overhead cancels in the slope (see
+    # measure_solve_rate)
+    k2 = 5 * k
+    run1, run2 = make_run(k), make_run(k2)
+    float(run1(a_means, jax.random.PRNGKey(1)))
+    float(run2(a_means, jax.random.PRNGKey(1)))
+    t1s, t2s = [], []
     for i in range(4):
+        key = jax.random.fold_in(jax.random.PRNGKey(2), i)
         t0 = time.perf_counter()
-        float(run(a_means, jax.random.fold_in(jax.random.PRNGKey(2), i)))
-        times.append(time.perf_counter() - t0)
-    per_batch = (min(times) - min(overhead)) / k
+        float(run1(a_means, key))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(run2(a_means, key))
+        t2s.append(time.perf_counter() - t0)
+    per_batch = (min(t2s) - min(t1s)) / (k2 - k)
     agg = B / per_batch
     print(
         f"[bench] covo_online scenario-batched B={B} N={args.n} H={args.h}: "
