@@ -50,16 +50,24 @@ def _extreme(B, squarings: int):
     return jnp.sum(M * BM) / (jnp.sum(M * M) + 1e-30)
 
 
-def _ns_sqrt(Ahat, eye, iters: int):
-    """Coupled Newton-Schulz (covariance._ns_sqrt, in-kernel)."""
-    eye3 = 3.0 * eye
+def _ns_sqrt(Ahat, eye, lift: int, polish: int):
+    """Coupled quintic-lift + cubic-polish inverse sqrt
+    (covariance._ns_sqrt, in-kernel — identical schedule/coefficients)."""
+    from covo_mpc_tpu.ops.covariance import _LIFT_A, _LIFT_B, _LIFT_C
 
-    def body(_, carry):
+    def lift_body(_, carry):
         Y, Z = carry
-        T = 0.5 * (eye3 - _dot(Z, Y))
+        X = _dot(Z, Y)
+        Q = _LIFT_A * eye + _LIFT_B * X + _LIFT_C * _dot(X, X)
+        return _dot(Y, Q), _dot(Q, Z)
+
+    def polish_body(_, carry):
+        Y, Z = carry
+        T = 0.5 * (3.0 * eye - _dot(Z, Y))
         return _dot(Y, T), _dot(T, Z)
 
-    return jax.lax.fori_loop(0, iters, body, (Ahat, eye))
+    carry = jax.lax.fori_loop(0, lift, lift_body, (Ahat, eye))
+    return jax.lax.fori_loop(0, polish, polish_body, carry)
 
 
 def _chol_logdet(A, D: int):
@@ -97,8 +105,8 @@ def _sigma_ns_kernel(
     *,
     D: int,
     squarings: int,
-    ns_iters_rough: int,
-    ns_iters: int,
+    ns_rough: tuple,
+    ns_main: tuple,
 ):
     R = R_ref[...]
     R = 0.5 * (R + R.T)
@@ -117,14 +125,14 @@ def _sigma_ns_kernel(
     delta1 = 1e-2 + 2e-3 * spread
     off1 = -lam_min_rough + delta1
     s1 = (lam_max + off1) * 1.05
-    _, Z1 = _ns_sqrt((R + off1 * eye) / s1, eye, ns_iters_rough)
+    _, Z1 = _ns_sqrt((R + off1 * eye) / s1, eye, *ns_rough)
     lam_min = s1 / _extreme(_dot(Z1, Z1), squarings) - off1
 
     # 3) the reference shift + A^{-1/2}
     offset = -lam_min + 1e-2
     A = R + offset * eye
     s = (lam_max + offset) * 1.05 + 1e-30
-    _, Z = _ns_sqrt(A / s, eye, ns_iters)
+    _, Z = _ns_sqrt(A / s, eye, *ns_main)
 
     # 4) one elimination of Z: logdet + triangular sampling factor
     # (Z = UᵀU; det Z = det(A/s)^{-1/2} => log det A = D log s - 2 log det Z)
@@ -147,8 +155,8 @@ def optimize_sigma_ns_pallas(
     horizon_dim: int,
     *,
     squarings: int = 14,
-    ns_iters_rough: int = 18,
-    ns_iters: int = 30,
+    ns_rough: tuple = (3, 4),
+    ns_main: tuple = (8, 5),
     interpret: bool = False,
 ):
     """Drop-in for covariance.optimize_sigma_ns, fused into one TPU kernel."""
@@ -158,8 +166,8 @@ def optimize_sigma_ns_pallas(
         _sigma_ns_kernel,
         D=D,
         squarings=squarings,
-        ns_iters_rough=ns_iters_rough,
-        ns_iters=ns_iters,
+        ns_rough=ns_rough,
+        ns_main=ns_main,
     )
     return pl.pallas_call(
         kernel,
