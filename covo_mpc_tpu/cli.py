@@ -71,16 +71,23 @@ def main(argv=None) -> int:
         sigma_mode=cfg.sigma_mode,
         # the pallas engine computes costs only; debug pos traces need jnp
         collect_debug=(cfg.engine == "jnp"),
+        collect_metrics=cfg.metrics,
     )
     name = cfg.name or f"{cfg.controller}_{cfg.task}"
     os.makedirs(cfg.results_dir, exist_ok=True)
 
     if cfg.mode == "eval":
-        result = evaluate(env, solver, total_steps=cfg.total_steps, seed=cfg.seed)
+        metrics_path = (
+            f"{cfg.results_dir}/metrics_{name}.jsonl" if cfg.metrics else None
+        )
+        result = evaluate(env, solver, total_steps=cfg.total_steps,
+                          seed=cfg.seed, metrics_path=metrics_path)
         print(result.summary())
         out = save_eval_result(result, f"{cfg.results_dir}/eval_{name}.npz")
         plot_eval_errors(result.err_pos_ep, f"{cfg.results_dir}/eval_{name}.png", name)
         print(f"saved {out}")
+        if metrics_path:
+            print(f"metrics: {metrics_path}")
     elif cfg.mode == "render":
         trace = render_episode(env, solver, seed=cfg.seed)
         out = save_trace(trace, f"{cfg.results_dir}/trace_{name}.npz")

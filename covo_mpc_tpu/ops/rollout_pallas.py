@@ -299,7 +299,12 @@ def make_pallas_rollout(env: QuadEnv, interpret: bool = False):
     def rollout_costs(
         x0, t0, pos_traj, vel_traj, actions, params, step_key,
         deterministic: bool = False, discount=1.0, collect_poses: bool = False,
+        vma=(),
     ):
+        """``vma``: mesh axes the output varies over — required when the
+        kernel runs inside shard_map (check_vma demands an explicit
+        declaration on pallas out_shapes; inputs are promoted by the
+        caller, covo_mpc_tpu.parallel.sharded.make_cost_engine)."""
         if collect_poses:
             raise NotImplementedError("pallas engine does not collect poses")
         N, H, dA = actions.shape
@@ -362,7 +367,10 @@ def make_pallas_rollout(env: QuadEnv, interpret: bool = False):
             out_specs=pl.BlockSpec(
                 (SUB, LB), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
-            out_shape=jax.ShapeDtypeStruct((SUB, lanes), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct(
+                (SUB, lanes), jnp.float32,
+                **({"vma": frozenset(vma)} if vma else {}),
+            ),
             interpret=interpret,
         )(x0[:16], scal, ints, ptar, vtar, dist, acts)
 
@@ -393,7 +401,7 @@ def make_pallas_rollout_batched(env: QuadEnv, interpret: bool = False):
 
     def rollout_costs_b(
         x0s, t0s, pos_trajs, vel_trajs, actions, params_b, step_keys,
-        deterministic: bool = False, discount=1.0,
+        deterministic: bool = False, discount=1.0, vma=(),
     ):
         B, N, H, dA = actions.shape
         assert dA == 4 and N % (SUB * 128) == 0, (
@@ -459,7 +467,10 @@ def make_pallas_rollout_batched(env: QuadEnv, interpret: bool = False):
             out_specs=pl.BlockSpec(
                 (1, SUB, LB), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM
             ),
-            out_shape=jax.ShapeDtypeStruct((B, SUB, lanes), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct(
+                (B, SUB, lanes), jnp.float32,
+                **({"vma": frozenset(vma)} if vma else {}),
+            ),
             interpret=interpret,
         )(
             x0s[:, :16].reshape(-1),

@@ -23,67 +23,162 @@ from covo_mpc_tpu.models.structs import pack_state
 from covo_mpc_tpu.ops import reductions, sampling
 from covo_mpc_tpu.ops.rollout import make_rollout
 from covo_mpc_tpu.parallel.mesh import SAMPLE_AXIS, SCENARIO_AXIS
+from covo_mpc_tpu.parallel.sharded import PALLAS_TILE
+from covo_mpc_tpu.utils.vma import pvary
 
 
-def make_multichip_control_step(env, mesh, N: int, H: int, lam: float):
-    """Build the jitted distributed step.
+def _make_batched_cost_engine(env, engine: str, n_local: int,
+                              interpret: bool = False):
+    """Scenario-batched costs-only rollout for the multichip steps.
 
-    Returns ``step(states, params, a_means, a_covs, keys) ->
-    (states', a_means', rewards, dones)`` where every input is batched over
-    scenarios on axis 0 and sharded over SCENARIO_AXIS; the sample axis is
-    materialized per-shard inside (never as a global array).
+    ``engine="pallas"`` runs ONE fused kernel over a (B_local, lane-tiles)
+    grid per shard (ops/rollout_pallas.make_pallas_rollout_batched) — the
+    single-scenario kernel cannot vmap over its SMEM operands, so the
+    scenario axis is a native grid dimension instead. ``engine="jnp"``
+    vmaps the packed-state scan engine.
+
+    Returns ``costs_fn(x0s, t0s, pos_trajs, vel_trajs, actions
+    (B, n_local, H, dA), params_b, step_keys, deterministic, discount)
+    -> costs (B, n_local)``; all inputs batched over scenarios on axis 0.
+    """
+    if engine == "jnp":
+        rollout = make_rollout(env)
+
+        def costs_fn(x0s, t0s, pos_trajs, vel_trajs, actions, params_b,
+                     step_keys, deterministic, discount):
+            def one(x0, t0, pt, vt, a, p, k):
+                costs, _ = rollout(
+                    x0, t0, pt, vt, a, p, k,
+                    deterministic=deterministic, discount=discount,
+                    collect_poses=False,
+                    vary_axes=(SAMPLE_AXIS, SCENARIO_AXIS),
+                )
+                return costs
+
+            return jax.vmap(one)(
+                x0s, t0s, pos_trajs, vel_trajs, actions, params_b, step_keys
+            )
+
+    elif engine == "pallas":
+        from covo_mpc_tpu.ops.rollout_pallas import make_pallas_rollout_batched
+
+        if n_local % PALLAS_TILE:
+            raise ValueError(
+                f"pallas engine needs the per-shard sample count divisible "
+                f"by {PALLAS_TILE}; got {n_local} — use more samples or "
+                f"fewer sample shards (or engine='jnp')"
+            )
+        rollout_b = make_pallas_rollout_batched(env, interpret=interpret)
+
+        def costs_fn(x0s, t0s, pos_trajs, vel_trajs, actions, params_b,
+                     step_keys, deterministic, discount):
+            # promote replicated operands to the sampled actions' vma so
+            # the kernel call sees one consistent varying set (shard_map;
+            # empty — a no-op — under the interpret tests' check_vma=False)
+            vary = getattr(jax.typeof(actions), "vma", frozenset())
+            args = jax.tree.map(
+                lambda x: pvary(x, tuple(vary)),
+                (x0s, t0s, pos_trajs, vel_trajs, params_b, step_keys,
+                 discount),
+            )
+            x0s, t0s, pos_trajs, vel_trajs, params_b, step_keys, discount = args
+            return rollout_b(
+                x0s, t0s, pos_trajs, vel_trajs, actions, params_b, step_keys,
+                deterministic=deterministic, discount=discount,
+                vma=tuple(vary),
+            )
+
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
+    return costs_fn
+
+
+def make_multichip_control_step(env, mesh, N: int, H: int, lam: float,
+                                engine: str = "jnp",
+                                interpret: bool = False):
+    """Build the jitted distributed MPPI control step.
+
+    Returns ``step(states, params, a_means, a_covs, keys, gamma_mean,
+    gamma_sigma, discount) -> (states', a_means', a_covs', rewards,
+    dones)`` where every array input is batched over scenarios on axis 0
+    and sharded over SCENARIO_AXIS; the sample axis is materialized
+    per-shard inside (never as a global array). The gammas/discount are
+    replicated runtime scalars with the single-chip solver's semantics
+    (reference: mppi.py:114-126) — in particular the weighted covariance
+    update the reference applies at γ_σ>0 is preserved, not dropped.
+    ``engine="pallas"`` runs the fused batched rollout kernel per shard.
     """
     n_sample_shards = mesh.shape[SAMPLE_AXIS]
     if N % n_sample_shards:
         raise ValueError(f"N={N} not divisible by {n_sample_shards}")
     n_local = N // n_sample_shards
-    rollout = make_rollout(env)
+    costs_engine = _make_batched_cost_engine(env, engine, n_local, interpret)
 
-    def per_scenario(state, params, a_mean, a_cov, key):
-        # receding-horizon shift (reference: mppi.py:43-49)
-        a_mean = jnp.concatenate([a_mean[1:], a_mean[-1:]])
-        a_cov = jnp.concatenate([a_cov[1:], a_cov[-1:]])
-        key, act_key, step_key, env_key = jax.random.split(key, 4)
+    def local_step(states, params_b, a_means, a_covs, keys,
+                   gamma_mean, gamma_sigma, discount):
+        # receding-horizon shift of mean AND cov (reference: mppi.py:43-49)
+        a_means = jnp.concatenate([a_means[:, 1:], a_means[:, -1:]], axis=1)
+        a_covs = jnp.concatenate([a_covs[:, 1:], a_covs[:, -1:]], axis=1)
+        split = jax.vmap(lambda k: jax.random.split(k, 4))(keys)
+        act_keys, step_keys, env_keys = split[:, 1], split[:, 2], split[:, 3]
 
         shard = lax.axis_index(SAMPLE_AXIS)
         ids = shard * n_local + jnp.arange(n_local)
-        a_local = sampling.sample_per_step(
-            act_key, a_mean, a_cov, n_local,
-            mode=sampling.INVARIANT, sample_ids=ids,
-        )
+        a_local = jax.vmap(
+            lambda k, m, c: sampling.sample_per_step(
+                k, m, c, n_local, mode=sampling.INVARIANT, sample_ids=ids
+            )
+        )(act_keys, a_means, a_covs)
         a_local = jnp.clip(a_local, -1.0, 1.0)
 
-        costs, _ = rollout(
-            pack_state(state), state.time, state.pos_traj, state.vel_traj,
-            a_local, params, step_key,
-            deterministic=False, discount=1.0, collect_poses=False,
-            vary_axes=(SAMPLE_AXIS, SCENARIO_AXIS),
-        )
-        min_cost = lax.pmin(jnp.min(costs), SAMPLE_AXIS)
-        unnorm, local_norm = reductions.weights_from_stats(costs, min_cost, lam)
-        weight = unnorm / lax.psum(local_norm, SAMPLE_AXIS)
-        a_mean_new = lax.psum(
-            jnp.einsum("n,nhd->hd", weight, a_local), SAMPLE_AXIS
+        x0s = jax.vmap(pack_state)(states)
+        costs = costs_engine(
+            x0s, states.time, states.pos_traj, states.vel_traj,
+            a_local, params_b, step_keys, False, discount,
         )
 
-        action = a_mean_new[0]
-        obs, state_new, reward, done, info = env.step(env_key, state, action, params)
-        return state_new, a_mean_new, reward, done
+        min_cost = lax.pmin(jnp.min(costs, axis=1), SAMPLE_AXIS)
+        unnorm = jnp.exp(-(costs - min_cost[:, None]) / lam)
+        norm = lax.psum(jnp.sum(unnorm, axis=1), SAMPLE_AXIS)
+        weight = unnorm / norm[:, None]
+        mean_w = lax.psum(
+            jnp.einsum("bn,bnhd->bhd", weight, a_local), SAMPLE_AXIS
+        )
+        a_means_new = mean_w * gamma_mean + a_means * (1.0 - gamma_mean)
+        # covariance centered on the UPDATED mean (reference: mppi.py:119-125)
+        dev = a_local - a_means_new[:, None]
+        cov_w = lax.psum(
+            jnp.einsum("bn,bnhi,bnhj->bhij", weight, dev, dev), SAMPLE_AXIS
+        )
+        a_covs_new = cov_w * gamma_sigma + a_covs * (1.0 - gamma_sigma)
 
-    def local_step(states, params, a_means, a_covs, keys):
-        return jax.vmap(per_scenario)(states, params, a_means, a_covs, keys)
+        actions = a_means_new[:, 0]
+        _, states_new, rewards, dones, _ = jax.vmap(env.step)(
+            env_keys, states, actions, params_b
+        )
+        return states_new, a_means_new, a_covs_new, rewards, dones
 
     sharded = jax.shard_map(
         local_step,
         mesh=mesh,
         in_specs=(
             P(SCENARIO_AXIS), P(SCENARIO_AXIS), P(SCENARIO_AXIS),
-            P(SCENARIO_AXIS), P(SCENARIO_AXIS),
+            P(SCENARIO_AXIS), P(SCENARIO_AXIS), P(), P(), P(),
         ),
         out_specs=(P(SCENARIO_AXIS), P(SCENARIO_AXIS), P(SCENARIO_AXIS),
-                   P(SCENARIO_AXIS)),
+                   P(SCENARIO_AXIS), P(SCENARIO_AXIS)),
+        # interpret-mode pallas evaluator vs strict vma: see parallel/sharded.py
+        check_vma=not (engine == "pallas" and interpret),
     )
-    return jax.jit(sharded)
+    jitted = jax.jit(sharded)
+
+    def step(states, params_b, a_means, a_covs, keys,
+             gamma_mean=1.0, gamma_sigma=0.0, discount=1.0):
+        return jitted(states, params_b, a_means, a_covs, keys,
+                      jnp.float32(gamma_mean), jnp.float32(gamma_sigma),
+                      jnp.float32(discount))
+
+    return step
 
 
 def make_batched_covo_solve(env, N: int, H: int, lam: float,
@@ -154,7 +249,9 @@ def make_batched_covo_solve(env, N: int, H: int, lam: float,
 
 
 def make_multichip_covo_step(env, mesh, N: int, H: int, lam: float,
-                             sample_sigma: float = 0.5):
+                             sample_sigma: float = 0.5,
+                             engine: str = "jnp",
+                             interpret: bool = False):
     """Distributed CoVO-online control step — BASELINE config #5 proper:
     scenario axis = pure data parallelism (DR episodes), sample axis =
     sharded rollouts with pmin/psum reductions.
@@ -163,11 +260,15 @@ def make_multichip_covo_step(env, mesh, N: int, H: int, lam: float,
     Newton-Schulz Σ design (O(D²), independent of N — replicated across
     the sample shards rather than communicated), sharding-invariant joint
     sampling, local rollouts, three collectives (pmin + 2 psum), and the
-    auto-resetting environment step.
+    auto-resetting environment step. ``engine="pallas"`` runs the fused
+    batched rollout kernel per shard (the flagship per-chip rate);
+    CoVO updates the mean only — Σ is re-designed from the Hessian every
+    step, never from samples (reference: covo.py:269-275), so there is no
+    covariance-update path to thread here.
 
-    Returns ``step(states, params, a_means, keys) -> (states', a_means',
-    rewards, dones)``, everything batched over scenarios on axis 0 and
-    sharded over SCENARIO_AXIS.
+    Returns ``step(states, params, a_means, keys, gamma_mean=1.0,
+    discount=1.0) -> (states', a_means', rewards, dones)``, everything
+    batched over scenarios on axis 0 and sharded over SCENARIO_AXIS.
     """
     from covo_mpc_tpu.ops import covariance
     from covo_mpc_tpu.ops.hessian import make_hessian_adjoint
@@ -176,55 +277,74 @@ def make_multichip_covo_step(env, mesh, N: int, H: int, lam: float,
     if N % n_sample_shards:
         raise ValueError(f"N={N} not divisible by {n_sample_shards}")
     n_local = N // n_sample_shards
-    rollout = make_rollout(env)
+    costs_engine = _make_batched_cost_engine(env, engine, n_local, interpret)
+    # scan primal: the local scenario batch vmaps the Hessian, and the
+    # Pallas primal kernel cannot vmap over SMEM operands (solvers/covo.py)
     hess = make_hessian_adjoint(env, H, primal="scan")
     dA = env.action_dim
     D = H * dA
 
-    def per_scenario(state, params, a_mean, key):
+    def local_step(states, params_b, a_means, keys, gamma_mean, discount):
         # shift the mean only (reference: covo.py:201-203)
-        a_mean = jnp.concatenate([a_mean[1:], a_mean[-1:]])
-        key, hess_key, act_key, step_key, env_key = jax.random.split(key, 5)
+        a_means = jnp.concatenate([a_means[:, 1:], a_means[:, -1:]], axis=1)
+        split = jax.vmap(lambda k: jax.random.split(k, 5))(keys)
+        hess_keys, act_keys = split[:, 1], split[:, 2]
+        step_keys, env_keys = split[:, 3], split[:, 4]
 
-        x0 = pack_state(state)
-        R = hess(a_mean.flatten(), x0, state.time, state.pos_traj,
-                 state.vel_traj, params, hess_key)
-        _, factor = covariance.optimize_sigma_ns(R, sample_sigma, D)
+        x0s = jax.vmap(pack_state)(states)
+        means_flat = a_means.reshape(a_means.shape[0], D)
+        R = jax.vmap(
+            lambda m, x, s, p, k: hess(m, x, s.time, s.pos_traj, s.vel_traj,
+                                       p, k)
+        )(means_flat, x0s, states, params_b, hess_keys)
+        _, factors = jax.vmap(
+            lambda r: covariance.optimize_sigma_ns(r, sample_sigma, D)
+        )(R)
 
         shard = lax.axis_index(SAMPLE_AXIS)
         ids = shard * n_local + jnp.arange(n_local)
-        a_local = sampling.sample_joint(
-            act_key, a_mean.flatten(), factor, n_local,
-            mode=sampling.INVARIANT, sample_ids=ids,
-        )
-        a_local = jnp.clip(a_local.reshape(n_local, H, dA), -1.0, 1.0)
+        a_flat = jax.vmap(
+            lambda k, m, f: sampling.sample_joint(
+                k, m, f, n_local, mode=sampling.INVARIANT, sample_ids=ids
+            )
+        )(act_keys, means_flat, factors)
+        B = a_means.shape[0]
+        a_local = jnp.clip(a_flat.reshape(B, n_local, H, dA), -1.0, 1.0)
 
-        costs, _ = rollout(
-            x0, state.time, state.pos_traj, state.vel_traj,
-            a_local, params, step_key,
-            deterministic=True, discount=1.0, collect_poses=False,
-            vary_axes=(SAMPLE_AXIS, SCENARIO_AXIS),
-        )
-        min_cost = lax.pmin(jnp.min(costs), SAMPLE_AXIS)
-        unnorm, local_norm = reductions.weights_from_stats(costs, min_cost, lam)
-        weight = unnorm / lax.psum(local_norm, SAMPLE_AXIS)
-        a_mean_new = lax.psum(
-            jnp.einsum("n,nhd->hd", weight, a_local), SAMPLE_AXIS
+        costs = costs_engine(
+            x0s, states.time, states.pos_traj, states.vel_traj,
+            a_local, params_b, step_keys, True, discount,
         )
 
-        action = a_mean_new[0]
-        obs, state_new, reward, done, info = env.step(env_key, state, action, params)
-        return state_new, a_mean_new, reward, done
+        min_cost = lax.pmin(jnp.min(costs, axis=1), SAMPLE_AXIS)
+        unnorm = jnp.exp(-(costs - min_cost[:, None]) / lam)
+        norm = lax.psum(jnp.sum(unnorm, axis=1), SAMPLE_AXIS)
+        weight = unnorm / norm[:, None]
+        mean_w = lax.psum(
+            jnp.einsum("bn,bnhd->bhd", weight, a_local), SAMPLE_AXIS
+        )
+        a_means_new = mean_w * gamma_mean + a_means * (1.0 - gamma_mean)
 
-    def local_step(states, params, a_means, keys):
-        return jax.vmap(per_scenario)(states, params, a_means, keys)
+        actions = a_means_new[:, 0]
+        _, states_new, rewards, dones, _ = jax.vmap(env.step)(
+            env_keys, states, actions, params_b
+        )
+        return states_new, a_means_new, rewards, dones
 
     sharded = jax.shard_map(
         local_step,
         mesh=mesh,
         in_specs=(P(SCENARIO_AXIS), P(SCENARIO_AXIS), P(SCENARIO_AXIS),
-                  P(SCENARIO_AXIS)),
+                  P(SCENARIO_AXIS), P(), P()),
         out_specs=(P(SCENARIO_AXIS), P(SCENARIO_AXIS), P(SCENARIO_AXIS),
                    P(SCENARIO_AXIS)),
+        # interpret-mode pallas evaluator vs strict vma: see parallel/sharded.py
+        check_vma=not (engine == "pallas" and interpret),
     )
-    return jax.jit(sharded)
+    jitted = jax.jit(sharded)
+
+    def step(states, params_b, a_means, keys, gamma_mean=1.0, discount=1.0):
+        return jitted(states, params_b, a_means, keys,
+                      jnp.float32(gamma_mean), jnp.float32(discount))
+
+    return step

@@ -30,25 +30,93 @@ from jax.sharding import PartitionSpec as P
 from covo_mpc_tpu.ops import reductions, sampling
 from covo_mpc_tpu.ops.rollout import make_rollout
 from covo_mpc_tpu.parallel.mesh import SAMPLE_AXIS
+from covo_mpc_tpu.utils.vma import pvary
 
 
 def _replicated_specs(tree):
     return jax.tree.map(lambda _: P(), tree)
 
 
+PALLAS_TILE = 1024  # per-shard sample-count granularity of the fused kernel
+
+
+def make_cost_engine(env, engine: str, n_local: int, interpret: bool = False):
+    """Uniform costs-only rollout callable for the sharded solve cores.
+
+    ``engine="pallas"`` runs the fused Pallas rollout kernel PER SHARD —
+    the TPU-native execution SURVEY.md §2's parallelism table prescribes
+    (vs the reference's vmap, quadjax/controllers/mppi.py:73-75) — so a
+    multi-chip solve sustains the single-chip flagship rate per chip
+    instead of the ~3x slower jnp path. Requires the per-shard sample
+    count to be tile-aligned (n_local % 1024 == 0) and a
+    state-independent disturbance model; ``interpret=True`` runs the
+    kernel in interpret mode for CPU-mesh tests.
+
+    Returns ``costs_fn(x0, t0, pos_traj, vel_traj, actions, params,
+    step_key, deterministic, discount, vary_axes) -> costs (n_local,)``.
+    """
+    if engine == "jnp":
+        rollout = make_rollout(env)
+
+        def costs_fn(x0, t0, pos_traj, vel_traj, actions, params, step_key,
+                     deterministic, discount, vary_axes):
+            costs, _ = rollout(
+                x0, t0, pos_traj, vel_traj, actions, params, step_key,
+                deterministic=deterministic, discount=discount,
+                collect_poses=False, vary_axes=vary_axes,
+            )
+            return costs
+
+    elif engine == "pallas":
+        from covo_mpc_tpu.ops.rollout_pallas import make_pallas_rollout
+
+        if n_local % PALLAS_TILE:
+            raise ValueError(
+                f"pallas engine needs the per-shard sample count divisible "
+                f"by {PALLAS_TILE}; got {n_local} — use more samples or "
+                f"fewer shards (or engine='jnp')"
+            )
+        rollout = make_pallas_rollout(env, interpret=interpret)
+
+        def costs_fn(x0, t0, pos_traj, vel_traj, actions, params, step_key,
+                     deterministic, discount, vary_axes):
+            # shard_map tracks varying-manual-axes per value; the sampled
+            # actions are varying over the mesh axes while the broadcast
+            # state/tables are not — promote so the kernel sees one vma.
+            # (Under check_vma=False — the interpret-mode tests — vma is
+            # empty and this is a no-op.)
+            vary = tuple(getattr(jax.typeof(actions), "vma", frozenset()))
+            args = jax.tree.map(
+                lambda x: pvary(x, vary),
+                (x0, t0, pos_traj, vel_traj, params, step_key, discount),
+            )
+            x0, t0, pos_traj, vel_traj, params, step_key, discount = args
+            costs, _ = rollout(
+                x0, t0, pos_traj, vel_traj, actions, params, step_key,
+                deterministic=deterministic, discount=discount, vma=vary,
+            )
+            return costs
+
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
+    return costs_fn
+
+
 def make_sharded_mppi_solve(env, mesh, N: int, H: int, lam: float,
-                            axis: str = SAMPLE_AXIS):
+                            axis: str = SAMPLE_AXIS, engine: str = "jnp",
+                            interpret: bool = False):
     """Sharded MPPI sample→rollout→reduce→update core.
 
     Returns ``solve(x0, t0, pos_traj, vel_traj, a_mean, a_cov, gammas,
     discount, params, act_key, step_key) -> (a_mean_new, a_cov_new,
     min_cost)`` with every argument and result replicated across ``axis``.
+    ``engine="pallas"`` runs the fused rollout kernel per shard.
     """
     n_shards = mesh.shape[axis]
     if N % n_shards:
         raise ValueError(f"N={N} not divisible by {n_shards} shards")
     n_local = N // n_shards
-    rollout = make_rollout(env)
+    rollout = make_cost_engine(env, engine, n_local, interpret)
 
     def local_solve(x0, t0, pos_traj, vel_traj, a_mean, a_cov,
                     gamma_mean, gamma_sigma, discount, params,
@@ -61,10 +129,9 @@ def make_sharded_mppi_solve(env, mesh, N: int, H: int, lam: float,
         )
         a_local = jnp.clip(a_local, -1.0, 1.0)
 
-        costs, _ = rollout(
+        costs = rollout(
             x0, t0, pos_traj, vel_traj, a_local, params, step_key,
-            deterministic=False, discount=discount, collect_poses=False,
-            vary_axes=(axis,),
+            False, discount, (axis,),
         )
 
         min_cost = lax.pmin(jnp.min(costs), axis)
@@ -91,18 +158,26 @@ def make_sharded_mppi_solve(env, mesh, N: int, H: int, lam: float,
             mesh=mesh,
             in_specs=_replicated_specs(args),
             out_specs=(P(), P(), P()),
+            # the interpret-mode pallas evaluator mixes its own unvarying
+            # loop indices with varying blocks and trips strict vma checking
+            # (jax suggests this exact workaround); the compiled TPU path
+            # keeps the check
+            check_vma=not (engine == "pallas" and interpret),
         )(*args)
 
     return solve
 
 
 def make_sharded_covo_sample_rollout(env, mesh, N: int, H: int, lam: float,
-                                     axis: str = SAMPLE_AXIS):
+                                     axis: str = SAMPLE_AXIS,
+                                     engine: str = "jnp",
+                                     interpret: bool = False):
     """Sharded CoVO sample→rollout→reduce core.
 
     Σ design (Hessian + eigh) is O(D²) and independent of N, so it runs
     replicated OUTSIDE this core; only the N-dependent work is sharded.
-    ``factor`` is any square root of Σ.
+    ``factor`` is any square root of Σ. ``engine="pallas"`` runs the fused
+    rollout kernel per shard (the flagship per-chip path).
 
     Returns ``solve(x0, t0, pos_traj, vel_traj, mean_flat, factor,
     gamma_mean, discount, params, act_key, step_key) -> (a_mean_new (H, dA),
@@ -112,7 +187,7 @@ def make_sharded_covo_sample_rollout(env, mesh, N: int, H: int, lam: float,
     if N % n_shards:
         raise ValueError(f"N={N} not divisible by {n_shards} shards")
     n_local = N // n_shards
-    rollout = make_rollout(env)
+    rollout = make_cost_engine(env, engine, n_local, interpret)
     dA = env.action_dim
 
     def local_solve(x0, t0, pos_traj, vel_traj, mean_flat, factor,
@@ -125,10 +200,9 @@ def make_sharded_covo_sample_rollout(env, mesh, N: int, H: int, lam: float,
         )
         a_local = jnp.clip(a_flat.reshape(n_local, H, dA), -1.0, 1.0)
 
-        costs, _ = rollout(
+        costs = rollout(
             x0, t0, pos_traj, vel_traj, a_local, params, step_key,
-            deterministic=True, discount=discount, collect_poses=False,
-            vary_axes=(axis,),
+            True, discount, (axis,),
         )
 
         min_cost = lax.pmin(jnp.min(costs), axis)
@@ -150,6 +224,63 @@ def make_sharded_covo_sample_rollout(env, mesh, N: int, H: int, lam: float,
             mesh=mesh,
             in_specs=_replicated_specs(args),
             out_specs=(P(), P()),
+            # see make_sharded_mppi_solve: interpret-mode vma workaround
+            check_vma=not (engine == "pallas" and interpret),
         )(*args)
+
+    return solve
+
+
+def make_distributed_covo_solve(env, mesh, N: int, H: int, lam: float,
+                                sample_sigma: float = 0.5,
+                                axis: str = SAMPLE_AXIS,
+                                engine: str = "jnp",
+                                interpret: bool = False,
+                                hessian_primal: str | None = None):
+    """Full distributed CoVO-online solve: replicated Σ design + sharded
+    sample/rollout/reduce — the flagship configuration spread over a mesh.
+
+    Composition mirrors the single-chip fast path (solvers/covo.py with
+    hessian_mode="adjoint", sigma_mode="ns", rng_mode="invariant"): the
+    adjoint Hessian and Newton-Schulz Σ-designer are O(D²) and independent
+    of N, so every shard computes them redundantly (cheaper than
+    communicating Σ); only the O(N·H) sampling/rollout work is sharded.
+    The RNG chain matches the single-chip solver, and the invariant
+    sampler uses global sample ids — so on a 1-shard mesh this returns
+    EXACTLY the single-chip solver's update (pinned in
+    tests/test_sharding.py), and results are identical at any shard count.
+
+    Returns ``solve(x0, t0, pos_traj, vel_traj, a_mean (H, dA), params,
+    rng, gamma_mean=1.0, discount=1.0) -> (a_mean_new (H, dA),
+    min_cost)``, all replicated.
+    """
+    from covo_mpc_tpu.ops import covariance
+    from covo_mpc_tpu.ops.hessian import make_hessian_adjoint
+
+    core = make_sharded_covo_sample_rollout(
+        env, mesh, N, H, lam, axis=axis, engine=engine, interpret=interpret
+    )
+    # in-kernel primal pairs with the fused rollout engine (solvers/covo.py)
+    primal = hessian_primal or (
+        "pallas_interpret" if engine == "pallas" and interpret
+        else "pallas" if engine == "pallas"
+        else "scan"
+    )
+    hess = make_hessian_adjoint(env, H, primal=primal)
+    D = H * env.action_dim
+
+    def solve(x0, t0, pos_traj, vel_traj, a_mean, params, rng,
+              gamma_mean=1.0, discount=1.0):
+        # shift the mean only (reference: covo.py:201-203); key chain
+        # matches CoVOSolver.__call__
+        a_mean = jnp.concatenate([a_mean[1:], a_mean[-1:]])
+        R = hess(a_mean.flatten(), x0, t0, pos_traj, vel_traj, params, rng)
+        _, factor = covariance.optimize_sigma_ns(R, sample_sigma, D)
+        rng, act_key = jax.random.split(rng)
+        rng, step_key = jax.random.split(rng)
+        return core(
+            x0, t0, pos_traj, vel_traj, a_mean.flatten(), factor,
+            gamma_mean, discount, params, act_key, step_key,
+        )
 
     return solve

@@ -33,3 +33,6 @@ class RunConfig:
     total_steps: int = 300 * 4 * 10
     seed: int = 1
     results_dir: str = "results"
+    # per-solve health metrics (ESS, cost quantiles, Σ conditioning) emitted
+    # as JSONL from eval mode — runtime/metrics.py
+    metrics: bool = False

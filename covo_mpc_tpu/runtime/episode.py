@@ -18,11 +18,14 @@ from jax import lax
 
 def make_episode_runner(env, controller, steps: Optional[int] = None):
     """Build ``run_one_ep(rng_reset, rng, env_params=None) ->
-    (rng_out, err_pos (T,), dones (T,))``.
+    (rng_out, err_pos (T,), dones (T,), metrics)``.
 
     ``err_pos[t]`` is the tracking error of the PRE-step state at step t
     (reference: quadrotor.py:355 via get_info), so ``err_pos.mean()``
-    reproduces the reference's episode metric.
+    reproduces the reference's episode metric. ``metrics`` is a dict of
+    per-step (T,) arrays when the controller was built with
+    ``collect_metrics=True`` (ESS, cost quantiles, Σ conditioning —
+    runtime/metrics.py), else ``{}``.
     """
     T = steps or env.default_params.max_steps_in_episode
 
@@ -39,9 +42,11 @@ def make_episode_runner(env, controller, steps: Optional[int] = None):
             rng_step, env_state, action, env_params
         )
         rng, rng_control = jax.random.split(rng)
+        solve_metrics = (control_info or {}).get("metrics", {})
         return (next_obs, next_state, rng, env_params, control_params, info), (
             info["err_pos"],
             done,
+            solve_metrics,
         )
 
     @jax.jit
@@ -53,12 +58,12 @@ def make_episode_runner(env, controller, steps: Optional[int] = None):
         control_params = controller.reset(
             env_state, env_params, controller.init_control_params, rng_control
         )
-        carry, (err_pos, dones) = lax.scan(
+        carry, (err_pos, dones, metrics) = lax.scan(
             run_one_step,
             (obs, env_state, rng, env_params, control_params, info),
             None,
             length=T,
         )
-        return carry[2], err_pos, dones
+        return carry[2], err_pos, dones, metrics
 
     return run_one_ep

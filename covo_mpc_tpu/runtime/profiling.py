@@ -101,6 +101,38 @@ def time_chained(fn: Callable, key, iters: int = 8, k: int = 32, warmup: int = 1
     }
 
 
+def time_slope(make_run, k: int = 32, reps: int = 5):
+    """Amortized per-iteration seconds via a two-point slope fit.
+
+    ``make_run(length)`` must return a callable ``run(i) -> value`` that
+    executes `length` chained iterations in ONE dispatch (i is the rep
+    index, for RNG folding) and whose result can be synchronized with
+    ``float(...)``. Timing K and 5K iterations and taking the slope
+    cancels dispatch overhead EXACTLY — subtracting a proxy
+    empty-dispatch estimate instead lets its ±2 ms wobble corrupt a K=32
+    measurement by up to 50% on this machine's tunneled TPU. Reps of the
+    two lengths are interleaved so both sample the same contention
+    environment; min-of-reps at each length before the slope.
+
+    Returns ``(seconds_per_iteration, implied_dispatch_overhead_s)``.
+    """
+    k2 = 5 * k
+    run1, run2 = make_run(k), make_run(k2)
+    float(run1(0))  # warmup + compile; float() forces a real transfer
+    float(run2(0))
+    t1s, t2s = [], []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        float(run1(i))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(run2(i))
+        t2s.append(time.perf_counter() - t0)
+    per = (min(t2s) - min(t1s)) / (k2 - k)
+    overhead = min(t1s) - k * per
+    return per, overhead
+
+
 @contextlib.contextmanager
 def trace(log_dir: Optional[str]):
     """jax.profiler trace context; no-op when log_dir is None."""

@@ -60,8 +60,10 @@ class CoVOSolver(BaseSolver):
         engine: str = "jnp",
         hessian_unroll: int = 1,
         sigma_mode: str = "eigh",
+        collect_metrics: bool = False,
     ) -> None:
         super().__init__(env, control_params)
+        self.collect_metrics = collect_metrics
         if mode not in ("online", "offline"):
             raise NotImplementedError(f"unknown CoVO mode {mode!r}")
         if sigma_mode == "eigh":
@@ -288,4 +290,11 @@ class CoVOSolver(BaseSolver):
             info = {"pos_mean": jnp.mean(poses, axis=1), "pos_std": jnp.std(poses, axis=1)}
         else:
             info = {}
+        if self.collect_metrics:
+            from covo_mpc_tpu.runtime.metrics import sigma_metrics, solve_metrics
+
+            info["metrics"] = {
+                **solve_metrics(costs, weight),
+                **sigma_metrics(a_cov),
+            }
         return control_params.a_mean[0], control_params, info

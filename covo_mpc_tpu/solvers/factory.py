@@ -74,6 +74,7 @@ def get_solver(
     collect_debug: bool = True,
     engine: str = "jnp",
     sigma_mode: str = "eigh",
+    collect_metrics: bool = False,
 ):
     """Build (solver, control_params) by name (reference: quadrotor.py:670-752).
 
@@ -109,6 +110,7 @@ def get_solver(
         solver = MPPISolver(
             env, params, N=N, H=H, lam=lam, rng_mode=rng_mode,
             collect_debug=collect_debug, engine=engine,
+            collect_metrics=collect_metrics,
         )
         return solver, params
     if "covo" in name:
@@ -127,6 +129,7 @@ def get_solver(
             env, params, N=N, H=H, lam=lam, mode=mode, rng_mode=rng_mode,
             hessian_mode=hessian_mode, collect_debug=collect_debug,
             engine=engine, sigma_mode=sigma_mode,
+            collect_metrics=collect_metrics,
         )
         return solver, params
     raise NotImplementedError(f"unknown controller {name!r}")

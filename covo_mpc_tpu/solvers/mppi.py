@@ -48,6 +48,7 @@ class MPPISolver(BaseSolver):
         rng_mode: str = sampling.PARITY,
         collect_debug: bool = True,
         engine: str = "jnp",
+        collect_metrics: bool = False,
     ) -> None:
         super().__init__(env, control_params)
         self.N = N
@@ -55,6 +56,7 @@ class MPPISolver(BaseSolver):
         self.lam = lam
         self.rng_mode = rng_mode
         self.collect_debug = collect_debug
+        self.collect_metrics = collect_metrics
         if engine in ("pallas", "pallas_interpret"):
             from covo_mpc_tpu.ops.rollout_pallas import make_pallas_rollout
 
@@ -116,4 +118,8 @@ class MPPISolver(BaseSolver):
             info = {"pos_mean": jnp.mean(poses, axis=1), "pos_std": jnp.std(poses, axis=1)}
         else:
             info = {}
+        if self.collect_metrics:
+            from covo_mpc_tpu.runtime.metrics import solve_metrics
+
+            info["metrics"] = solve_metrics(costs, weight)
         return control_params.a_mean[0], control_params, info

@@ -1,0 +1,272 @@
+#!/usr/bin/env python
+"""Multi-chip benchmark harness: solve rate on a device mesh.
+
+The one command a pod operator runs (BASELINE.md scaling row — ≥85%
+efficiency at ≥2 hosts; protocol being scaled: reference
+quadjax/envs/quadrotor.py:506-591):
+
+    python scripts/bench_mesh.py                      # all devices, auto mesh
+    python scripts/bench_mesh.py --samples 4          # 4-way sample sharding
+    python scripts/bench_mesh.py --scenarios 8 --b 8  # scenario-DP sweep
+
+Two scaling axes are measured (SURVEY.md §2 parallelism table):
+
+  * SAMPLE sharding — one flagship CoVO-online solve's N rollout samples
+    split across chips (3 collectives/solve: pmin + 2 psum). Strong
+    scaling: fixed N, lower latency per solve. Reported per shard count
+    with efficiency vs the 1-shard rate.
+  * SCENARIO data-parallelism — B independent DR episodes, one per-chip
+    batched CoVO step each (zero per-solve communication). Weak scaling:
+    aggregate solves/s. Reported with efficiency vs the 1-chip aggregate.
+
+Measurement: K and 5K solves chained per dispatch, two-point slope
+(covo_mpc_tpu.runtime.profiling.time_slope) — dispatch overhead cancels
+exactly; never time single dispatches through the ~24 ms TPU tunnel.
+
+On the CPU backend (8 virtual devices) the numbers are PLUMBING-ONLY —
+they validate the harness and the collective layout, not TPU performance.
+Prints one JSON line per configuration plus a summary table to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def parse_args():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8192, help="samples per solve")
+    ap.add_argument("--h", type=int, default=32, help="horizon")
+    ap.add_argument("--lam", type=float, default=0.01)
+    ap.add_argument("--k", type=int, default=32, help="solves per dispatch")
+    ap.add_argument("--samples", type=int, default=0,
+                    help="sample-shard counts to bench (0 = sweep 1..all "
+                         "devices in powers of 2)")
+    ap.add_argument("--scenarios", type=int, default=0,
+                    help="scenario-DP width to bench (0 = skip; uses all "
+                         "devices as scenario shards)")
+    ap.add_argument("--b", type=int, default=0,
+                    help="total scenario batch for the scenario axis "
+                         "(default: one per scenario shard)")
+    ap.add_argument("--engine", default="auto",
+                    choices=["auto", "pallas", "jnp"],
+                    help="rollout engine; auto = pallas on TPU (interpret "
+                         "elsewhere) when per-shard N is tile-aligned")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (plumbing smoke test; pair "
+                         "with XLA_FLAGS=--xla_force_host_platform_device_"
+                         "count=8 for a virtual 8-chip mesh)")
+    return ap.parse_args()
+
+
+def resolve_engine(choice: str, n_local: int):
+    """Engine + interpret flag for this backend/shard shape."""
+    on_tpu = jax.default_backend() == "tpu"
+    if choice == "jnp":
+        return "jnp", False
+    if n_local % 1024:
+        if choice == "pallas":
+            raise SystemExit(
+                f"--engine pallas needs per-shard samples % 1024 == 0, "
+                f"got {n_local}"
+            )
+        return "jnp", False
+    return "pallas", not on_tpu
+
+
+def make_env():
+    from covo_mpc_tpu.models import EnvConfig, QuadEnv
+
+    return QuadEnv(
+        EnvConfig(
+            task="tracking_zigzag",
+            enable_randomizer=False,
+            disturb_type="gaussian",
+            disable_rollover_terminate=True,
+            generate_noisy_state=True,
+        )
+    )
+
+
+def bench_sample_sharding(env, args, shard_counts):
+    """Strong scaling: one CoVO-online solve, N sharded across chips."""
+    from covo_mpc_tpu.models.structs import pack_state
+    from covo_mpc_tpu.parallel import make_mesh
+    from covo_mpc_tpu.parallel.sharded import make_distributed_covo_solve
+    from covo_mpc_tpu.runtime.profiling import time_slope
+    from covo_mpc_tpu.solvers import hover_sequence
+
+    params = env.default_params
+    _, _, state = env.reset_env(jax.random.PRNGKey(0), params)
+    x0 = pack_state(state)
+    a_mean0 = hover_sequence(env, args.h)
+
+    rows = []
+    for s in shard_counts:
+        engine, interpret = resolve_engine(args.engine, args.n // s)
+        mesh = make_mesh(samples=s, scenarios=1, devices=jax.devices()[:s])
+        solve = make_distributed_covo_solve(
+            env, mesh, N=args.n, H=args.h, lam=args.lam,
+            engine=engine, interpret=interpret,
+        )
+
+        def make_run(length):
+            def one(carry, _):
+                a_mean, rng = carry
+                rng, sub = jax.random.split(rng)
+                a_mean, min_cost = solve(
+                    x0, state.time, state.pos_traj, state.vel_traj,
+                    a_mean, params, sub,
+                )
+                return (a_mean, rng), min_cost
+
+            @jax.jit
+            def run(i):
+                key = jax.random.fold_in(jax.random.PRNGKey(2), i)
+                (a, _), outs = lax.scan(one, (a_mean0, key), None,
+                                        length=length)
+                return jnp.sum(a) + jnp.sum(outs)
+
+            return run
+
+        per_solve, overhead = time_slope(make_run, k=args.k)
+        rows.append({
+            "axis": "samples",
+            "shards": s,
+            "engine": engine + ("/interpret" if interpret else ""),
+            "ms_per_solve": per_solve * 1e3,
+            "solves_per_s": 1.0 / per_solve,
+        })
+        print(
+            f"[mesh] covo_online N={args.n} H={args.h} sample-shards={s} "
+            f"({rows[-1]['engine']}): {per_solve*1e3:7.3f} ms/solve -> "
+            f"{1.0/per_solve:8.1f} solves/s "
+            f"(dispatch overhead {overhead*1e3:.1f} ms)",
+            file=sys.stderr,
+        )
+
+    base = rows[0]
+    for r in rows:
+        speedup = r["solves_per_s"] / base["solves_per_s"]
+        r["speedup_vs_1shard"] = speedup
+        r["scaling_efficiency"] = speedup / (r["shards"] / base["shards"])
+    return rows
+
+
+def bench_scenario_dp(env, args, n_chips, B):
+    """Weak scaling: B DR episodes data-parallel over n_chips chips, each
+    chip running the batched CoVO step on its local scenarios."""
+    from covo_mpc_tpu.parallel import make_mesh
+    from covo_mpc_tpu.parallel.scenarios import make_multichip_covo_step
+    from covo_mpc_tpu.runtime.profiling import time_slope
+    from covo_mpc_tpu.solvers import hover_sequence
+
+    rows = []
+    for chips in sorted({1, n_chips}):
+        b = max(B * chips // n_chips, 1) if chips < n_chips else B
+        engine, interpret = resolve_engine(args.engine, args.n)
+        mesh = make_mesh(samples=1, scenarios=chips,
+                         devices=jax.devices()[:chips])
+        step = make_multichip_covo_step(
+            env, mesh, N=args.n, H=args.h, lam=args.lam,
+            engine=engine, interpret=interpret,
+        )
+        keys = jax.random.split(jax.random.PRNGKey(1), b)
+        scen_params = jax.vmap(env.sample_params)(keys)
+        states = jax.vmap(lambda k, p: env.reset_env(k, p)[2])(
+            keys, scen_params
+        )
+        a_means0 = jnp.tile(hover_sequence(env, args.h)[None], (b, 1, 1))
+
+        def make_run(length):
+            def one(carry, _):
+                a_means, rng = carry
+                rng, sub = jax.random.split(rng)
+                step_keys = jax.random.split(sub, b)
+                _, a_means, rewards, _ = step(
+                    states, scen_params, a_means, step_keys
+                )
+                return (a_means, rng), jnp.sum(rewards)
+
+            @jax.jit
+            def run(i):
+                key = jax.random.fold_in(jax.random.PRNGKey(3), i)
+                (a, _), outs = lax.scan(one, (a_means0, key), None,
+                                        length=length)
+                return jnp.sum(a) + jnp.sum(outs)
+
+            return run
+
+        per_step, overhead = time_slope(make_run, k=max(args.k // 4, 2))
+        agg = b / per_step
+        rows.append({
+            "axis": "scenarios",
+            "chips": chips,
+            "scenario_batch": b,
+            "engine": engine + ("/interpret" if interpret else ""),
+            "ms_per_step": per_step * 1e3,
+            "aggregate_solves_per_s": agg,
+        })
+        print(
+            f"[mesh] covo_online scenario-DP chips={chips} B={b} "
+            f"({rows[-1]['engine']}): {per_step*1e3:7.3f} ms/step -> "
+            f"{agg:8.1f} aggregate solves/s "
+            f"(dispatch overhead {overhead*1e3:.1f} ms)",
+            file=sys.stderr,
+        )
+
+    base = rows[0]
+    for r in rows:
+        per_chip = r["aggregate_solves_per_s"] / r["chips"]
+        base_per_chip = base["aggregate_solves_per_s"] / base["chips"]
+        r["scaling_efficiency"] = per_chip / base_per_chip
+    return rows
+
+
+def main():
+    args = parse_args()
+    if args.cpu:
+        # env var alone is not enough on this machine — sitecustomize
+        # registers the remote TPU backend in every process
+        jax.config.update("jax_platforms", "cpu")
+    n_dev = len(jax.devices())
+    backend = jax.default_backend()
+    print(
+        f"[mesh] backend={backend} devices={n_dev}"
+        + (" (CPU: plumbing-only numbers, not TPU performance)"
+           if backend != "tpu" else ""),
+        file=sys.stderr,
+    )
+    env = make_env()
+
+    if args.samples:
+        shard_counts = [args.samples]
+        if args.samples > 1:
+            shard_counts = [1, args.samples]
+    else:
+        shard_counts, s = [], 1
+        while s <= n_dev:
+            shard_counts.append(s)
+            s *= 2
+    rows = bench_sample_sharding(env, args, shard_counts)
+
+    if args.scenarios:
+        B = args.b or args.scenarios
+        rows += bench_scenario_dp(env, args, args.scenarios, B)
+
+    for r in rows:
+        print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                          for k, v in r.items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -159,6 +159,32 @@ def test_cli_render_smoke(tmp_path):
     assert (tmp_path / "render_smoke.png").exists()
 
 
+def test_cli_eval_metrics_jsonl(tmp_path):
+    """--metrics wires per-solve health metrics (ESS, cost quantiles, Σ
+    conditioning) through the jitted episode scan into a JSONL sink
+    (SURVEY §5 metrics row: emitted per solve, not dead code)."""
+    import json
+
+    from covo_mpc_tpu import cli
+
+    rc = cli.main(
+        [
+            "--task", "hovering", "--controller", "covo_online", "--debug",
+            "--mode", "eval", "--noDR", "--name", "msmoke", "--metrics",
+            "--total-steps", "300", "--results-dir", str(tmp_path),
+        ]
+    )
+    assert rc == 0
+    path = tmp_path / "metrics_msmoke.jsonl"
+    assert path.exists()
+    recs = [json.loads(line) for line in path.read_text().splitlines()]
+    assert len(recs) == 300  # one record per (episode, solve)
+    for key in ("ess", "sigma_cond", "cost_min", "cost_p90", "err_pos"):
+        assert all(np.isfinite(r[key]) for r in recs), key
+    # debug mode runs N=4 samples: ESS must live in [1, N]
+    assert all(1.0 - 1e-6 <= r["ess"] <= 4.0 + 1e-6 for r in recs)
+
+
 def test_debug_checked_solver():
     from covo_mpc_tpu.runtime.debug import checked_solver, debug_mode
 

@@ -137,8 +137,8 @@ class TestStandalone:
         solver, _ = get_solver(env, "mppi", f"N{N}_H{H}_lam{LAM}",
                                rng_mode=sampling.FAST)
         runner = make_episode_runner(env, solver, steps=60)
-        _, err_pos, _ = runner(jax.random.PRNGKey(0), jax.random.PRNGKey(1))
+        _, err_pos, _, _ = runner(jax.random.PRNGKey(0), jax.random.PRNGKey(1))
         rand_solver, _ = get_solver(env, "random")
         rand_runner = make_episode_runner(env, rand_solver, steps=60)
-        _, err_rand, _ = rand_runner(jax.random.PRNGKey(0), jax.random.PRNGKey(1))
+        _, err_rand, _, _ = rand_runner(jax.random.PRNGKey(0), jax.random.PRNGKey(1))
         assert float(err_pos.mean()) < float(err_rand.mean())

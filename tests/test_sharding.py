@@ -154,7 +154,7 @@ def test_multichip_control_step(setup):
     a_means = jnp.tile(hover_sequence(env, H)[None], (B, 1, 1))
     a_covs = jnp.tile(jnp.eye(4)[None, None] * 0.25, (B, H, 1, 1))
 
-    states2, a_means2, rewards, dones = step(
+    states2, a_means2, a_covs2, rewards, dones = step(
         states, scen_params, a_means, a_covs, keys
     )
     assert rewards.shape == (B,)
@@ -162,6 +162,54 @@ def test_multichip_control_step(setup):
     assert bool(jnp.all(states2.time == 1))
     # the solve must have moved the nominal sequence
     assert float(jnp.max(jnp.abs(a_means2 - a_means))) > 0.0
+    # gamma_sigma defaults to 0 -> covariance passes through unchanged
+    np.testing.assert_allclose(a_covs2, a_covs, atol=1e-7)
+
+
+def test_multichip_control_step_gamma_sigma_matches_solver(setup):
+    """Distributed MPPI with gamma_sigma > 0 on a 1-shard mesh must apply
+    the same weighted covariance update as the single-chip solver
+    (reference: mppi.py:114-126) — the capability must not vanish on the
+    distributed path."""
+    from covo_mpc_tpu.parallel.scenarios import make_multichip_control_step
+    from covo_mpc_tpu.solvers import hover_sequence
+
+    env, params, _ = setup
+    mesh = make_mesh(samples=1, scenarios=1, devices=jax.devices()[:1])
+    B, n_samples = 1, 32
+    gm, gs, disc = 0.8, 0.3, 0.95
+    step = make_multichip_control_step(env, mesh, N=n_samples, H=H, lam=0.01)
+
+    keys = jax.random.split(jax.random.PRNGKey(3), B)
+    scen_params = jax.vmap(env.sample_params)(keys)
+    states = jax.vmap(lambda k, p: env.reset_env(k, p)[2])(keys, scen_params)
+    a_means = jnp.tile(hover_sequence(env, H)[None], (B, 1, 1))
+    a_covs = jnp.tile(jnp.eye(4)[None, None] * 0.25, (B, H, 1, 1))
+
+    _, a_means2, a_covs2, _, _ = step(
+        states, scen_params, a_means, a_covs, keys,
+        gamma_mean=gm, gamma_sigma=gs, discount=disc,
+    )
+
+    # replicate with the single-chip building blocks + the same RNG chain
+    p0 = jax.tree.map(lambda x: x[0], scen_params)
+    s0 = jax.tree.map(lambda x: x[0], states)
+    am = jnp.concatenate([a_means[0, 1:], a_means[0, -1:]])
+    ac = jnp.concatenate([a_covs[0, 1:], a_covs[0, -1:]])
+    ks = jax.random.split(keys[0], 4)
+    a = sampling.sample_per_step(ks[1], am, ac, n_samples,
+                                 mode=sampling.INVARIANT)
+    a = jnp.clip(a, -1.0, 1.0)
+    rollout = make_rollout(env)
+    costs, _ = rollout(
+        pack_state(s0), s0.time, s0.pos_traj, s0.vel_traj,
+        a, p0, ks[2], deterministic=False, discount=disc,
+    )
+    w = reductions.mppi_weights(costs, 0.01)
+    mean_ref = reductions.mean_update(w, a, am, gm)
+    cov_ref = reductions.cov_update(w, a, mean_ref, ac, gs)
+    np.testing.assert_allclose(a_means2[0], mean_ref, atol=1e-5)
+    np.testing.assert_allclose(a_covs2[0], cov_ref, atol=1e-5)
 
 
 def test_device_topology():
@@ -254,3 +302,142 @@ def test_multichip_covo_step(setup):
 
     # invariant sampler => identical result at any sample-shard count
     np.testing.assert_allclose(outs[1], outs[4], atol=1e-5)
+
+
+# --- fused Pallas rollout per shard (interpret mode on the CPU mesh) -----
+
+NP_, HP_ = 4096, 4  # pallas tile alignment: n_local % 1024 == 0 at 1/2/4 shards
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n_shards", [1, 2, 4])
+def test_sharded_mppi_pallas_engine(setup, n_shards):
+    """The fused Pallas kernel per shard == the jnp engine per shard, at
+    every mesh shape (SURVEY §2 parallelism row 1: the distributed path
+    must run the flagship kernel, not the 3x-slower jnp fallback)."""
+    env, params, state = setup
+    a_mean = hover_sequence(env, HP_)
+    a_cov = jnp.tile(jnp.eye(4) * 0.25, (HP_, 1, 1))
+    act_key, step_key = jax.random.split(jax.random.PRNGKey(5))
+
+    outs = {}
+    for engine in ("jnp", "pallas"):
+        mesh = make_mesh(samples=n_shards, scenarios=1,
+                         devices=jax.devices()[:n_shards])
+        solve = make_sharded_mppi_solve(env, mesh, N=NP_, H=HP_, lam=0.01,
+                                        engine=engine, interpret=True)
+        a_mean_new, a_cov_new, min_cost = solve(
+            pack_state(state), state.time, state.pos_traj, state.vel_traj,
+            a_mean, a_cov, 1.0, 0.0, 1.0, params, act_key, step_key,
+        )
+        outs[engine] = (np.asarray(a_mean_new), float(min_cost))
+
+    np.testing.assert_allclose(outs["pallas"][0], outs["jnp"][0], atol=1e-4)
+    assert outs["pallas"][1] == pytest.approx(outs["jnp"][1], abs=1e-3)
+
+
+@pytest.mark.slow
+def test_sharded_covo_pallas_engine(setup):
+    """Sharded CoVO core with the fused kernel: engine-equivalent and
+    shard-count invariant."""
+    env, params, state = setup
+    a_mean = hover_sequence(env, HP_)
+    D = HP_ * env.action_dim
+
+    hess = covariance.make_hessian(make_hessian_cost(env, HP_),
+                                   covariance.FWD_REV)
+    R = hess(a_mean.flatten(), pack_state(state), state.time,
+             state.pos_traj, state.vel_traj, params, jax.random.PRNGKey(9))
+    a_cov, factor = covariance.optimize_sigma(R, 0.5, D)
+    act_key, step_key = jax.random.split(jax.random.PRNGKey(5))
+
+    outs = {}
+    for engine, n_shards in (("jnp", 1), ("pallas", 1), ("pallas", 4)):
+        mesh = make_mesh(samples=n_shards, scenarios=1,
+                         devices=jax.devices()[:n_shards])
+        solve = make_sharded_covo_sample_rollout(
+            env, mesh, N=NP_, H=HP_, lam=0.01, engine=engine, interpret=True
+        )
+        a_mean_new, min_cost = solve(
+            pack_state(state), state.time, state.pos_traj, state.vel_traj,
+            a_mean.flatten(), factor, 1.0, 1.0, params, act_key, step_key,
+        )
+        outs[(engine, n_shards)] = (np.asarray(a_mean_new), float(min_cost))
+
+    np.testing.assert_allclose(outs[("pallas", 1)][0], outs[("jnp", 1)][0],
+                               atol=1e-4)
+    np.testing.assert_allclose(outs[("pallas", 4)][0], outs[("pallas", 1)][0],
+                               atol=1e-5)
+
+
+@pytest.mark.slow
+def test_multichip_covo_step_pallas_engine(setup):
+    """Distributed CoVO-online step with the fused BATCHED kernel per
+    shard: matches the jnp engine and stays sample-shard invariant."""
+    from covo_mpc_tpu.parallel.scenarios import make_multichip_covo_step
+
+    env, params, _ = setup
+    B, n_samples = 2, 2048
+    keys = jax.random.split(jax.random.PRNGKey(1), B)
+    scen_params = jax.vmap(env.sample_params)(keys)
+    states = jax.vmap(lambda k, p: env.reset_env(k, p)[2])(keys, scen_params)
+    a_means = jnp.tile(hover_sequence(env, HP_)[None], (B, 1, 1))
+
+    outs = {}
+    for engine, samples in (("jnp", 1), ("pallas", 1), ("pallas", 2)):
+        mesh = make_mesh(samples=samples, scenarios=2,
+                         devices=jax.devices()[: 2 * samples])
+        step = make_multichip_covo_step(env, mesh, N=n_samples, H=HP_,
+                                        lam=0.01, engine=engine,
+                                        interpret=True)
+        _, a_means2, rewards, _ = step(states, scen_params, a_means, keys)
+        assert bool(jnp.all(jnp.isfinite(rewards)))
+        outs[(engine, samples)] = np.asarray(a_means2)
+
+    np.testing.assert_allclose(outs[("pallas", 1)], outs[("jnp", 1)],
+                               atol=1e-4)
+    np.testing.assert_allclose(outs[("pallas", 2)], outs[("pallas", 1)],
+                               atol=1e-5)
+
+
+def test_distributed_covo_solve_matches_solver(setup):
+    """make_distributed_covo_solve on a 1-shard mesh == the single-chip
+    CoVO-online fast path (adjoint Hessian + NS designer + invariant
+    sampler), and is invariant to the shard count."""
+    from covo_mpc_tpu.parallel.sharded import make_distributed_covo_solve
+    from covo_mpc_tpu.solvers import get_solver
+
+    env, params, state = setup
+    solver, cp = get_solver(
+        env, "covo_online", f"N{N}_H{H}_lam0.01",
+        rng_mode=sampling.INVARIANT, hessian_mode="adjoint",
+        sigma_mode="ns", collect_debug=False, engine="jnp",
+    )
+    rng = jax.random.PRNGKey(21)
+    action, cp2, _ = solver(None, state, params, rng, cp, None)
+
+    outs = {}
+    for shards in (1, 4):
+        mesh = make_mesh(samples=shards, scenarios=1,
+                         devices=jax.devices()[:shards])
+        solve = make_distributed_covo_solve(
+            env, mesh, N=N, H=H, lam=0.01,
+            sample_sigma=float(cp.sample_sigma), engine="jnp",
+        )
+        a_mean_new, min_cost = solve(
+            pack_state(state), state.time, state.pos_traj, state.vel_traj,
+            cp.a_mean, params, rng,
+            gamma_mean=cp.gamma_mean, discount=cp.discount,
+        )
+        outs[shards] = np.asarray(a_mean_new)
+
+    np.testing.assert_allclose(outs[1], np.asarray(cp2.a_mean), atol=1e-5)
+    np.testing.assert_allclose(outs[4], outs[1], atol=1e-5)
+
+
+def test_pallas_engine_rejects_misaligned_shards(setup):
+    env, _, _ = setup
+    mesh = make_mesh(samples=2, scenarios=1, devices=jax.devices()[:2])
+    with pytest.raises(ValueError, match="divisible"):
+        make_sharded_mppi_solve(env, mesh, N=1024, H=4, lam=0.01,
+                                engine="pallas", interpret=True)
