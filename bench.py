@@ -54,7 +54,14 @@ def measure_solve_rate(solver, obs, state, params, info, control_params,
         @jax.jit
         def run(cp, key):
             (cp, _), outs = lax.scan(one, (cp, key), None, length=length)
-            return jnp.sum(cp.a_mean) + jnp.sum(outs)
+            # sum every float leaf of the solver state so no update is DCE'd
+            # (works for MPPI/CoVO a_mean AND PID integral state)
+            acc = sum(
+                jnp.sum(leaf)
+                for leaf in jax.tree.leaves(cp)
+                if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating)
+            )
+            return acc + jnp.sum(outs)
 
         return run
 
@@ -81,27 +88,51 @@ def measure_solve_rate(solver, obs, state, params, info, control_params,
 
 
 def bench_scenarios(env, args, k: int = 8):
-    """Aggregate CoVO-online throughput with B domain-randomized scenarios
-    batched on one chip (the per-chip block of BASELINE config #5).
-    Batching amortizes the solve's serial latency (Hessian scan steps,
-    Σ-designer matmul chain) across scenarios."""
+    """Aggregate CoVO-online AND MPPI throughput with B domain-randomized
+    scenarios batched on one chip (the per-chip block of BASELINE config
+    #5). Batching amortizes the solve's serial latency (Hessian scan
+    steps, Σ-designer matmul chain) across scenarios."""
     from covo_mpc_tpu.models.structs import pack_state
-    from covo_mpc_tpu.parallel.scenarios import make_batched_covo_solve
+    from covo_mpc_tpu.parallel.scenarios import (
+        make_batched_covo_solve,
+        make_batched_mppi_solve,
+    )
     from covo_mpc_tpu.solvers import hover_sequence
 
     B = args.scenarios
-    solve = make_batched_covo_solve(env, args.n, args.h, 0.01)
     keys = jax.random.split(jax.random.PRNGKey(11), B)
     params_b = jax.vmap(env.sample_params)(keys)
     states = jax.vmap(lambda key, p: env.reset_env(key, p)[2])(keys, params_b)
     x0s = jax.vmap(pack_state)(states)
-    a_means = jnp.tile(hover_sequence(env, args.h)[None], (B, 1, 1))
+    a_means0 = jnp.tile(hover_sequence(env, args.h)[None], (B, 1, 1))
+    a_covs0 = jnp.tile(jnp.eye(4)[None, None] * 0.25, (B, args.h, 1, 1))
 
-    def make_run(length):
+    def slope(make_run, init):
+        # two-point fit: dispatch overhead cancels in the slope (see
+        # measure_solve_rate)
+        k2 = 5 * k
+        run1, run2 = make_run(k), make_run(k2)
+        float(run1(init, jax.random.PRNGKey(1)))
+        float(run2(init, jax.random.PRNGKey(1)))
+        t1s, t2s = [], []
+        for i in range(4):
+            key = jax.random.fold_in(jax.random.PRNGKey(2), i)
+            t0 = time.perf_counter()
+            float(run1(init, key))
+            t1s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            float(run2(init, key))
+            t2s.append(time.perf_counter() - t0)
+        return (min(t2s) - min(t1s)) / (k2 - k)
+
+    # --- CoVO-online ---
+    covo = make_batched_covo_solve(env, args.n, args.h, 0.01)
+
+    def make_covo_run(length):
         def one(carry, _):
             a_means, key = carry
             key, k_s = jax.random.split(key)
-            a_means, min_costs = solve(
+            a_means, min_costs = covo(
                 x0s, states.time, states.pos_traj, states.vel_traj,
                 a_means, params_b, k_s,
             )
@@ -114,22 +145,7 @@ def bench_scenarios(env, args, k: int = 8):
 
         return run
 
-    # two-point fit: dispatch overhead cancels in the slope (see
-    # measure_solve_rate)
-    k2 = 5 * k
-    run1, run2 = make_run(k), make_run(k2)
-    float(run1(a_means, jax.random.PRNGKey(1)))
-    float(run2(a_means, jax.random.PRNGKey(1)))
-    t1s, t2s = [], []
-    for i in range(4):
-        key = jax.random.fold_in(jax.random.PRNGKey(2), i)
-        t0 = time.perf_counter()
-        float(run1(a_means, key))
-        t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        float(run2(a_means, key))
-        t2s.append(time.perf_counter() - t0)
-    per_batch = (min(t2s) - min(t1s)) / (k2 - k)
+    per_batch = slope(make_covo_run, a_means0)
     agg = B / per_batch
     print(
         f"[bench] covo_online scenario-batched B={B} N={args.n} H={args.h}: "
@@ -137,7 +153,75 @@ def bench_scenarios(env, args, k: int = 8):
         f"solves/s/chip ({agg/B:.0f}/s/scenario)",
         file=sys.stderr,
     )
+
+    # --- MPPI ---
+    mppi = make_batched_mppi_solve(env, args.n, args.h, 0.01)
+
+    def make_mppi_run(length):
+        def one(carry, _):
+            a_means, a_covs, key = carry
+            key, k_s = jax.random.split(key)
+            a_means, a_covs, min_costs = mppi(
+                x0s, states.time, states.pos_traj, states.vel_traj,
+                a_means, a_covs, params_b, k_s,
+            )
+            return (a_means, a_covs, key), min_costs[0]
+
+        @jax.jit
+        def run(a, key):
+            (a, _, _), outs = lax.scan(one, (a, a_covs0, key), None,
+                                       length=length)
+            return jnp.sum(a) + jnp.sum(outs)
+
+        return run
+
+    per_batch_m = slope(make_mppi_run, a_means0)
+    agg_m = B / per_batch_m
+    print(
+        f"[bench] mppi        scenario-batched B={B} N={args.n} H={args.h}: "
+        f"{per_batch_m*1e3:7.3f} ms/batch-step -> {agg_m:8.1f} aggregate "
+        f"solves/s/chip ({agg_m/B:.0f}/s/scenario)",
+        file=sys.stderr,
+    )
     return agg
+
+
+def bench_covo_offline(env, args, k: int = 32):
+    """CoVO-offline: one-time Σ-schedule precompute (the reference redoes
+    this scan at every reset, covo.py:101-112) + steady-state solve rate
+    with the precomputed schedule."""
+    from covo_mpc_tpu.ops import sampling
+    from covo_mpc_tpu.solvers import get_solver
+
+    params = env.default_params
+    obs, info, state = env.reset_env(jax.random.PRNGKey(0), params)
+    solver, cp = get_solver(
+        env, "covo_offline", f"N{args.n}_H{args.h}_lam0.01",
+        rng_mode=sampling.FAST, hessian_mode="adjoint",
+        collect_debug=False, engine=args.engine, sigma_mode="ns",
+    )
+    # schedule precompute: one dispatch, seconds-scale -> wall time is fine
+    # (the ~25 ms tunnel overhead is <2% here); sync via transfer
+    reset = lambda: solver.reset(state, params, cp, jax.random.PRNGKey(7))
+    cp_sched = reset()
+    float(jnp.sum(cp_sched.a_cov_offline))  # compile + sync
+    t0 = time.time()
+    cp_sched = reset()
+    float(jnp.sum(cp_sched.a_cov_offline))
+    precompute_s = time.time() - t0
+
+    per_solve, overhead = measure_solve_rate(
+        solver, obs, state, params, info, cp_sched, k=k
+    )
+    rate = 1.0 / per_solve
+    print(
+        f"[bench] covo_offline engine={args.engine:6s} N={args.n} H={args.h}: "
+        f"schedule precompute {precompute_s:.2f} s (300 steps), then "
+        f"{per_solve*1e3:7.3f} ms/solve -> {rate:7.1f} solves/s/chip "
+        f"(20ms budget: {'PASS' if per_solve < 0.02 else 'FAIL'})",
+        file=sys.stderr,
+    )
+    return rate
 
 
 def main():
@@ -192,11 +276,25 @@ def main():
         )
         return rate
 
+    def bench_pid(k):
+        solver, cp = get_solver(env, "pid")
+        per_solve, _ = measure_solve_rate(
+            solver, obs, state, params, info, cp, k=k
+        )
+        print(
+            f"[bench] {'pid':12s} {'':13s} baseline          : "
+            f"{per_solve*1e3:7.3f} ms/solve -> {1.0/per_solve:7.1f} "
+            f"solves/s/chip",
+            file=sys.stderr,
+        )
+
     if args.all:
         for c in ("mppi", "covo_online"):
             for e in ("jnp", "pallas"):
                 bench_one(c, e)
         bench_one("covo_online", "pallas", sigma_mode="eigh")
+        bench_covo_offline(env, args, k=args.k)
+        bench_pid(k=args.k * 4)
 
     if args.scenarios:
         bench_scenarios(env, args, k=args.k)

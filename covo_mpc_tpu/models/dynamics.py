@@ -48,6 +48,17 @@ def bodyrate_step(
 ) -> jnp.ndarray:
     """One Euler step of the packed-state dynamics (reference: free.py:75-112).
 
+    THE array-form definition of the bodyrate ODE: the jnp rollout engine
+    integrates it N-wide, and the adjoint Hessian differentiates it
+    (ops/hessian._step13 delegates here). The Pallas kernels run the
+    component-form twin (models/scalar_core.bodyrate_step) because
+    register slabs cannot take vector ops; the two forms are pinned
+    against each other by tests/test_dynamics.py. They are kept as two
+    layouts of one ODE deliberately: vector HLO is what XLA fuses best
+    for wide batches (the component form costs ~15% on the jnp engine and
+    +0.04 ms on the Hessian), while bit-unification is impossible anyway
+    because XLA's FMA placement is layout-dependent.
+
     Args:
       x: packed state ``(..., 16)``; the input quaternion may be un-normalized
          (it is normalized on entry, as the reference does at free.py:88).

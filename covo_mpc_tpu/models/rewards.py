@@ -11,19 +11,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from covo_mpc_tpu.models import scalar_core
 from covo_mpc_tpu.models.rotation import yaw_from_quat
 
-
-def log_pos_penalty(err_pos: jnp.ndarray) -> jnp.ndarray:
-    """Multi-scale log barrier on position error (reference: utils.py:267-274)."""
-    log1p = jnp.log(err_pos + 1.0)
-    return (
-        err_pos * 0.4
-        + jnp.clip(log1p * 4.0, 0.0, 1.0) * 0.4
-        + jnp.clip(log1p * 8.0, 0.0, 1.0) * 0.2
-        + jnp.clip(log1p * 16.0, 0.0, 1.0) * 0.1
-        + jnp.clip(log1p * 32.0, 0.0, 1.0) * 0.1
-    )
+# the multi-scale log barrier is layout-free elementwise math — one
+# definition, shared with the Pallas kernels (scalar_core)
+log_pos_penalty = scalar_core.log_pos_penalty
 
 
 def hovering_reward(pos, vel, pos_tar, vel_tar) -> jnp.ndarray:
@@ -42,7 +35,14 @@ def tracking_reward(pos, vel, pos_tar, vel_tar) -> jnp.ndarray:
 
 def tracking_penyaw_reward(pos, vel, quat, pos_tar, vel_tar) -> jnp.ndarray:
     """THE cost model used by the MPPI / CoVO tasks
-    (reference: utils.py:286-294): tracking reward with a yaw penalty."""
+    (reference: utils.py:286-294): tracking reward with a yaw penalty.
+
+    Array-form definition — the rollout engines and the adjoint Hessian
+    (ops/hessian._reward13 delegates here) consume this; the Pallas
+    kernels run the component-form twin (scalar_core.penyaw_reward),
+    pinned against this one by tests/test_rewards.py. linalg.norm is
+    deliberate: it is bit-exact with the reference's reward (the closed-
+    loop parity contract is ulp-sensitive, BASELINE.md)."""
     err_pos = jnp.linalg.norm(pos_tar - pos, axis=-1)
     err_vel = jnp.linalg.norm(vel_tar - vel, axis=-1)
     yaw = yaw_from_quat(quat)
@@ -50,7 +50,8 @@ def tracking_penyaw_reward(pos, vel, quat, pos_tar, vel_tar) -> jnp.ndarray:
 
 
 def tracking_realworld_reward(pos, quat, pos_tar) -> jnp.ndarray:
-    """Quadratic real-world cost (reference: utils.py:298-313)."""
+    """Quadratic real-world cost (reference: utils.py:298-313); array-form
+    twin of scalar_core.realworld_reward."""
     pos_err = jnp.mean((pos - pos_tar) ** 2, axis=-1)
     quat_err = 1.0 - quat[..., 3] ** 2
     cost = (5.0 * pos_err + 3.0 * quat_err) * 0.02

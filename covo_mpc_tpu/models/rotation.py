@@ -129,6 +129,22 @@ def quat_to_rpy(q: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([roll, pitch, yaw], axis=-1)
 
 
+def rp_to_quat(rp: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues parameters -> unit quaternion (x, y, z, w)
+    (reference: geom.py:90-91): q = [rp, 1] / sqrt(1 + |rp|^2).
+    Broadcasts over leading dims."""
+    ones = jnp.ones(rp.shape[:-1] + (1,), dtype=rp.dtype)
+    n = jnp.sqrt(1.0 + jnp.sum(rp * rp, axis=-1, keepdims=True))
+    return jnp.concatenate([rp, ones], axis=-1) / n
+
+
+def quat_to_rp(q: jnp.ndarray) -> jnp.ndarray:
+    """Unit quaternion (x, y, z, w) -> Rodrigues parameters
+    (reference: geom.py:94-95): rp = q_xyz / q_w. Broadcasts over leading
+    dims; singular at q_w = 0 (180-degree rotations), like the reference."""
+    return q[..., 0:3] / q[..., 3:4]
+
+
 def yaw_from_quat(q: jnp.ndarray) -> jnp.ndarray:
     """Yaw only — the piece the tracking reward needs
     (reference: utils.py:290)."""

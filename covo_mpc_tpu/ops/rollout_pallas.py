@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from covo_mpc_tpu.models import dynamics
+from covo_mpc_tpu.models import dynamics, scalar_core
 from covo_mpc_tpu.models.quad_env import QuadEnv
 from covo_mpc_tpu.models.structs import FDIST
 
@@ -110,11 +110,12 @@ def build_disturb_table(env: QuadEnv, x0, t0, params, step_key, deterministic, H
 def _dyn_step(state, action, fdist, m, g, dt, alpha, ascale, max_thrust, mo):
     """One bodyrate dynamics step on unpacked state components
     (reference: free.py:75-112 with step_env's action clip folded in,
-    quadrotor.py:223/258). Components may be scalars or slabs — every op is
-    elementwise, so the same code serves the N-sample tile kernel and the
-    single-trajectory primal kernel."""
-    px, py, pz, qx, qy, qz, qw, vx, vy, vz, wx, wy, wz = state
-    fdx, fdy, fdz = fdist
+    quadrotor.py:223/258). The physics itself is the single definition in
+    models/scalar_core (shared with the jnp engine and the Hessian); this
+    wrapper folds in the normalized-action -> (thrust, omega_tar) map.
+    Components may be scalars or slabs — every op is elementwise, so the
+    same code serves the N-sample tile kernel and the single-trajectory
+    primal kernel."""
     a0 = jnp.clip(action[0], -1.0, 1.0)
     a1 = jnp.clip(action[1], -1.0, 1.0)
     a2 = jnp.clip(action[2], -1.0, 1.0)
@@ -123,42 +124,9 @@ def _dyn_step(state, action, fdist, m, g, dt, alpha, ascale, max_thrust, mo):
     wtx = a1 * mo[0] * ascale
     wty = a2 * mo[1] * ascale
     wtz = a3 * mo[2] * ascale
-
-    # entry-normalize the quaternion (reference: free.py:88)
-    qn = jax.lax.rsqrt(qx * qx + qy * qy + qz * qz + qw * qw)
-    qx, qy, qz, qw = qx * qn, qy * qn, qz * qn, qw * qn
-
-    # body z-axis in world frame (third column of R)
-    bzx = 2.0 * (qx * qz + qw * qy)
-    bzy = 2.0 * (qy * qz - qw * qx)
-    bzz = qw * qw - qx * qx - qy * qy + qz * qz
-
-    inv_m = 1.0 / m
-    # position BEFORE velocity update (Euler, pre-update v)
-    px = px + vx * dt
-    py = py + vy * dt
-    pz = pz + vz * dt
-    vx = vx + (bzx * thrust + fdx) * inv_m * dt
-    vy = vy + (bzy * thrust + fdy) * inv_m * dt
-    vz = vz + ((bzz * thrust + fdz) * inv_m - g) * dt
-
-    # quaternion kinematics: q += dt * 0.5 * q x (omega, 0), renormalize
-    qdx = 0.5 * (qw * wx + qy * wz - qz * wy)
-    qdy = 0.5 * (qw * wy + qz * wx - qx * wz)
-    qdz = 0.5 * (qw * wz + qx * wy - qy * wx)
-    qdw = 0.5 * (-qx * wx - qy * wy - qz * wz)
-    qx = qx + dt * qdx
-    qy = qy + dt * qdy
-    qz = qz + dt * qdz
-    qw = qw + dt * qdw
-    qn = jax.lax.rsqrt(qx * qx + qy * qy + qz * qz + qw * qw)
-    qx, qy, qz, qw = qx * qn, qy * qn, qz * qn, qw * qn
-
-    # first-order bodyrate lag
-    wx = alpha * wx + (1.0 - alpha) * wtx
-    wy = alpha * wy + (1.0 - alpha) * wty
-    wz = alpha * wz + (1.0 - alpha) * wtz
-    return px, py, pz, qx, qy, qz, qw, vx, vy, vz, wx, wy, wz
+    return scalar_core.bodyrate_step(
+        state, thrust, (wtx, wty, wtz), fdist, m, g, dt, alpha
+    )
 
 
 def _rollout_kernel(
@@ -223,31 +191,20 @@ def _rollout_kernel(
         fdy = dist_ref[to + 3 * h + 1]
         fdz = dist_ref[to + 3 * h + 2]
 
-        # ---- reward on the PRE-step state (reference: quadrotor.py:243)
-        ex, ey, ez = ptx - px, pty - py, ptz - pz
-        err_pos = jnp.sqrt(ex * ex + ey * ey + ez * ez)
+        # ---- reward on the PRE-step state (reference: quadrotor.py:243);
+        # single definition in models/scalar_core, polynomial atan2 injected
+        # (no atan2 lowering on Pallas TPU)
         if reward_name == "penyaw":
             vtx = vtar_ref[to + 3 * h]
             vty = vtar_ref[to + 3 * h + 1]
             vtz = vtar_ref[to + 3 * h + 2]
-            evx, evy, evz = vtx - vx, vty - vy, vtz - vz
-            err_vel = jnp.sqrt(evx * evx + evy * evy + evz * evz)
-            yaw = _atan2(
-                2.0 * (qw * qz + qx * qy), 1.0 - 2.0 * (qy * qy + qz * qz)
+            r = scalar_core.penyaw_reward(
+                (px, py, pz), (vx, vy, vz), (qx, qy, qz, qw),
+                (ptx, pty, ptz), (vtx, vty, vtz), atan2=_atan2,
+                norm=scalar_core.norm3_elementwise,
             )
-            log1p = jnp.log(err_pos + 1.0)
-            logpos = (
-                err_pos * 0.4
-                + jnp.clip(log1p * 4.0, 0.0, 1.0) * 0.4
-                + jnp.clip(log1p * 8.0, 0.0, 1.0) * 0.2
-                + jnp.clip(log1p * 16.0, 0.0, 1.0) * 0.1
-                + jnp.clip(log1p * 32.0, 0.0, 1.0) * 0.1
-            )
-            r = 1.3 - 0.05 * err_vel - logpos - jnp.abs(yaw) * 0.2
         else:  # realworld quadratic cost
-            pos_err = (ex * ex + ey * ey + ez * ez) / 3.0
-            quat_err = 1.0 - qw * qw
-            r = -(5.0 * pos_err + 3.0 * quat_err) * 0.02
+            r = scalar_core.realworld_reward((px, py, pz), qw, (ptx, pty, ptz))
 
         r = jnp.where(d_prev, r_prev, r)
         r_prev = r

@@ -248,6 +248,53 @@ def make_batched_covo_solve(env, N: int, H: int, lam: float,
     return jax.jit(solve)
 
 
+def make_batched_mppi_solve(env, N: int, H: int, lam: float,
+                            interpret: bool = False):
+    """Scenario-batched MPPI solve on ONE device — the MPPI counterpart of
+    :func:`make_batched_covo_solve` (B domain-randomized episodes amortize
+    the solve's serial latency; the fused batched rollout kernel runs a
+    native (B, lane-tiles) grid).
+
+    Returns ``solve(x0s (B,16), t0s, pos_trajs, vel_trajs, a_means
+    (B,H,dA), a_covs (B,H,dA,dA), params_b, key) -> (a_means_new,
+    a_covs_new, min_costs)``. Mean/cov updates use the single-chip
+    semantics at gamma_mean=1, gamma_sigma=0 (the paper configuration,
+    reference: quadrotor.py:713-720). RNG: per-scenario ``fold_in(key, b)``
+    streams, fast sampler.
+    """
+    from covo_mpc_tpu.ops.rollout_pallas import make_pallas_rollout_batched
+    from covo_mpc_tpu.utils.keys import fold_in_batch
+
+    dA = env.action_dim
+    rollout_b = make_pallas_rollout_batched(env, interpret=interpret)
+
+    def solve(x0s, t0s, pos_trajs, vel_trajs, a_means, a_covs, params_b, key):
+        B = a_means.shape[0]
+        # receding-horizon shift of mean AND cov (reference: mppi.py:43-49)
+        a_means = jnp.concatenate([a_means[:, 1:], a_means[:, -1:]], axis=1)
+        a_covs = jnp.concatenate([a_covs[:, 1:], a_covs[:, -1:]], axis=1)
+
+        keys = fold_in_batch(key, jnp.arange(B))
+        act_keys = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
+        step_keys = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
+
+        a_sampled = jax.vmap(
+            lambda k, m, c: sampling.sample_per_step(k, m, c, N,
+                                                     mode=sampling.FAST)
+        )(act_keys, a_means, a_covs)
+        a_sampled = jnp.clip(a_sampled, -1.0, 1.0)
+
+        costs = rollout_b(
+            x0s, t0s, pos_trajs, vel_trajs, a_sampled, params_b, step_keys,
+            deterministic=False, discount=1.0,
+        )
+        weights = jax.vmap(lambda c: reductions.mppi_weights(c, lam))(costs)
+        a_means_new = jnp.einsum("bn,bnhd->bhd", weights, a_sampled)
+        return a_means_new, a_covs, jnp.min(costs, axis=1)
+
+    return jax.jit(solve)
+
+
 def make_multichip_covo_step(env, mesh, N: int, H: int, lam: float,
                              sample_sigma: float = 0.5,
                              engine: str = "jnp",

@@ -90,3 +90,33 @@ class TestReferenceParity:
         x_ref = x_ref.at[3:7].set(x_ref[3:7] / jnp.linalg.norm(x_ref[3:7]))
         ours = dynamics.bodyrate_step(x, u, p, p.dt)
         np.testing.assert_allclose(ours, x_ref, atol=1e-5)
+
+
+class TestScalarCoreTwin:
+    def test_bodyrate_step_component_form_matches_array_form(self):
+        """The Pallas kernels' component-form ODE (models/scalar_core) ==
+        the array-form definition (models/dynamics.bodyrate_step) to fp
+        noise — the direct pin that keeps the two layouts one model."""
+        from covo_mpc_tpu.models import scalar_core
+        from covo_mpc_tpu.models.structs import EnvParams3D
+
+        params = EnvParams3D()
+        key = jax.random.PRNGKey(11)
+        x = jax.random.normal(key, (64, 16)) * 0.3
+        # make quaternions non-degenerate
+        x = x.at[:, 3:7].add(jnp.array([0.0, 0.0, 0.0, 1.0]))
+        u = jax.random.uniform(jax.random.PRNGKey(12), (64, 4),
+                               minval=-1.0, maxval=1.0)
+
+        ref = dynamics.bodyrate_step(x, u, params, 0.02)
+
+        us = u * params.action_scale
+        out = scalar_core.bodyrate_step(
+            tuple(x[:, i] for i in range(13)),
+            us[:, 0], (us[:, 1], us[:, 2], us[:, 3]),
+            (x[:, 13], x[:, 14], x[:, 15]),
+            params.m, params.g, 0.02, params.alpha_bodyrate,
+        )
+        np.testing.assert_allclose(
+            jnp.stack(out, axis=-1), ref[:, :13], atol=1e-5
+        )

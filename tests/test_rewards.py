@@ -87,3 +87,45 @@ class TestReferenceParity:
         for i in range(6):
             ref = utils.hovering_reward_fn(self._ref_state(s, i))
             np.testing.assert_allclose(ours[i], ref, atol=1e-5)
+
+
+class TestScalarCoreTwin:
+    """Direct pins: the Pallas kernels' component-form rewards
+    (models/scalar_core) == the array-form definitions here."""
+
+    def _inputs(self):
+        k = jax.random.PRNGKey(13)
+        pos = jax.random.normal(k, (64, 3))
+        vel = jax.random.normal(jax.random.PRNGKey(14), (64, 3))
+        quat = jax.random.normal(jax.random.PRNGKey(15), (64, 4))
+        quat = quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
+        pt = jax.random.normal(jax.random.PRNGKey(16), (64, 3))
+        vt = jax.random.normal(jax.random.PRNGKey(17), (64, 3))
+        return pos, vel, quat, pt, vt
+
+    def test_penyaw(self):
+        from covo_mpc_tpu.models import scalar_core
+
+        pos, vel, quat, pt, vt = self._inputs()
+        ref = rewards.tracking_penyaw_reward(pos, vel, quat, pt, vt)
+        for norm in (scalar_core.norm3, scalar_core.norm3_elementwise):
+            got = scalar_core.penyaw_reward(
+                (pos[:, 0], pos[:, 1], pos[:, 2]),
+                (vel[:, 0], vel[:, 1], vel[:, 2]),
+                (quat[:, 0], quat[:, 1], quat[:, 2], quat[:, 3]),
+                (pt[:, 0], pt[:, 1], pt[:, 2]),
+                (vt[:, 0], vt[:, 1], vt[:, 2]),
+                norm=norm,
+            )
+            np.testing.assert_allclose(got, ref, atol=2e-6)
+
+    def test_realworld(self):
+        from covo_mpc_tpu.models import scalar_core
+
+        pos, _, quat, pt, _ = self._inputs()
+        ref = rewards.tracking_realworld_reward(pos, quat, pt)
+        got = scalar_core.realworld_reward(
+            (pos[:, 0], pos[:, 1], pos[:, 2]), quat[:, 3],
+            (pt[:, 0], pt[:, 1], pt[:, 2]),
+        )
+        np.testing.assert_allclose(got, ref, atol=2e-6)

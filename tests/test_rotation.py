@@ -135,3 +135,20 @@ class TestReferenceParity:
         np.testing.assert_allclose(rotation.hat(v), self.geom.hat(v), atol=1e-6)
         R = jax.random.normal(jax.random.PRNGKey(5), (3, 3))
         np.testing.assert_allclose(rotation.vee(R), self.geom.vee(R), atol=1e-6)
+
+    def test_rodrigues_parity(self):
+        """rp_to_quat / quat_to_rp vs reference rptoq/qtorp
+        (reference: geom.py:90-95), plus round-trip identity."""
+        rp = jax.random.normal(KEY, (6, 3)) * 0.7
+        for i in range(6):
+            q = rotation.rp_to_quat(rp[i])
+            np.testing.assert_allclose(q, self.geom.rptoq(rp[i]), atol=1e-6)
+            np.testing.assert_allclose(
+                rotation.quat_to_rp(q), self.geom.qtorp(q), atol=1e-6
+            )
+            # round trip (q_w > 0 by construction)
+            np.testing.assert_allclose(rotation.quat_to_rp(q), rp[i], atol=1e-5)
+        # batched form broadcasts
+        qb = rotation.rp_to_quat(rp)
+        assert qb.shape == (6, 4)
+        np.testing.assert_allclose(rotation.quat_to_rp(qb), rp, atol=1e-5)

@@ -276,6 +276,56 @@ def test_batched_covo_solve_matches_per_scenario(setup):
                                                     abs=1e-4)
 
 
+def test_batched_mppi_solve_matches_per_scenario(setup):
+    """Scenario-batched MPPI solve == the same math one scenario at a time
+    (counterpart of the CoVO test above)."""
+    from covo_mpc_tpu.ops.rollout_pallas import make_pallas_rollout
+    from covo_mpc_tpu.parallel.scenarios import make_batched_mppi_solve
+    from covo_mpc_tpu.utils.keys import fold_in_batch
+
+    env, params, _ = setup
+    B, NB, HB = 2, 1024, 4
+
+    keys = jax.random.split(jax.random.PRNGKey(5), B)
+    params_b = jax.vmap(env.sample_params)(keys)
+    resets = [
+        env.reset_env(jax.random.fold_in(jax.random.PRNGKey(7), b),
+                      jax.tree.map(lambda x: x[b], params_b))[2]
+        for b in range(B)
+    ]
+    x0s = jnp.stack([pack_state(s) for s in resets])
+    t0s = jnp.stack([s.time for s in resets])
+    pos_trajs = jnp.stack([s.pos_traj for s in resets])
+    vel_trajs = jnp.stack([s.vel_traj for s in resets])
+    a_means = jnp.stack([hover_sequence(env, HB)] * B)
+    a_covs = jnp.tile(jnp.eye(4)[None, None] * 0.25, (B, HB, 1, 1))
+
+    solve = make_batched_mppi_solve(env, NB, HB, 0.01, interpret=True)
+    key = jax.random.PRNGKey(3)
+    a_new, a_covs_out, min_costs = solve(
+        x0s, t0s, pos_trajs, vel_trajs, a_means, a_covs, params_b, key
+    )
+
+    rollout = make_pallas_rollout(env, interpret=True)
+    for b in range(B):
+        pb = jax.tree.map(lambda x: x[b], params_b)
+        kb = jax.random.fold_in(key, b)
+        k_a, k_s = jax.random.split(kb)
+        am = jnp.concatenate([a_means[b, 1:], a_means[b, -1:]])
+        ac = jnp.concatenate([a_covs[b, 1:], a_covs[b, -1:]])
+        a_s = sampling.sample_per_step(k_a, am, ac, NB, mode=sampling.FAST)
+        a_s = jnp.clip(a_s, -1.0, 1.0)
+        costs, _ = rollout(x0s[b], t0s[b], pos_trajs[b], vel_trajs[b], a_s,
+                           pb, k_s, deterministic=False, discount=1.0,
+                           collect_poses=False)
+        w = reductions.mppi_weights(costs, 0.01)
+        expect = jnp.einsum("n,nhd->hd", w, a_s)
+        np.testing.assert_allclose(np.asarray(a_new[b]), np.asarray(expect),
+                                   atol=1e-5, err_msg=f"scenario {b}")
+        np.testing.assert_allclose(np.asarray(a_covs_out[b]),
+                                   np.asarray(ac), atol=1e-7)
+
+
 def test_multichip_covo_step(setup):
     """Distributed CoVO-online step (BASELINE config #5): runs on a
     scenario x sample mesh and is invariant to the sample-shard count."""
