@@ -98,6 +98,8 @@ def main(argv=None) -> int:
     elif cfg.mode == "bench":
         import jax.numpy as jnp
 
+        from covo_mpc_tpu.runtime.profiling import trace
+
         obs, info, state = env.reset_env(jax.random.PRNGKey(0), env.default_params)
 
         def solve(key):
@@ -105,13 +107,16 @@ def main(argv=None) -> int:
                                   solver.init_control_params, info)
             return action
 
-        stats = time_blocking(jax.jit(solve), iters=20, warmup=2,
-                              key=jax.random.PRNGKey(1))
-        amort = time_chained(jax.jit(solve), jax.random.PRNGKey(1))
+        with trace(cfg.trace_dir or None):
+            stats = time_blocking(jax.jit(solve), iters=20, warmup=2,
+                                  key=jax.random.PRNGKey(1))
+            amort = time_chained(jax.jit(solve), jax.random.PRNGKey(1))
         rnd = lambda d: {k: round(v, 6) if isinstance(v, float) else v
                          for k, v in d.items()}
         print(json.dumps({"per_dispatch": rnd(stats),
                           "amortized_per_solve": rnd(amort)}))
+        if cfg.trace_dir:
+            print(f"profiler trace: {cfg.trace_dir}")
     else:
         raise SystemExit(f"unknown mode {cfg.mode!r}")
     return 0

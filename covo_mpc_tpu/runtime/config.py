@@ -36,3 +36,6 @@ class RunConfig:
     # per-solve health metrics (ESS, cost quantiles, Σ conditioning) emitted
     # as JSONL from eval mode — runtime/metrics.py
     metrics: bool = False
+    # jax.profiler trace directory for bench mode (Perfetto/TensorBoard);
+    # empty = no trace — runtime/profiling.trace
+    trace_dir: str = ""

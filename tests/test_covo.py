@@ -111,6 +111,7 @@ class TestOptimizeSigmaNS:
                 np.asarray(factor @ factor.T), np.asarray(a_cov), atol=1e-4
             )
 
+    @pytest.mark.slow
     def test_real_rollout_hessian(self):
         from covo_mpc_tpu.ops.hessian import make_hessian_adjoint
         from covo_mpc_tpu.solvers.factory import hover_sequence
@@ -392,6 +393,7 @@ class TestAdjointHessian:
         np.testing.assert_allclose(R_adj, R_ad, atol=1e-5, rtol=1e-4)
 
     @pytest.mark.parametrize("disturb", ["gaussian", "sin", "periodic"])
+    @pytest.mark.slow
     def test_pallas_primal_matches_scan(self, disturb):
         """In-kernel nominal rollout == the lax.scan primal."""
         env = QuadEnv(

@@ -450,6 +450,7 @@ def test_multichip_covo_step_pallas_engine(setup):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_distributed_covo_solve_matches_solver(setup):
     """make_distributed_covo_solve on a 1-shard mesh == the single-chip
     CoVO-online fast path (adjoint Hessian + NS designer + invariant
