@@ -19,10 +19,12 @@ disturbance, physics constants, the episode clock — is a scalar in SMEM.
 The disturbance table trick: all rollout samples share the start state and
 the reference reuses ONE step key for every sample and step (reference:
 quadjax/controllers/mppi.py:69-74), so for every disturb type except
-"drag" the force disturbance is state-independent and precomputes to an
-(H, 3) table outside the kernel ("drag" depends on per-sample velocity and
-falls back to the jnp engine). f_disturb therefore never occupies
-per-sample registers.
+"drag"/"mixed" the force disturbance is state-independent and precomputes
+to an (H, 3) table outside the kernel; f_disturb then never occupies
+per-sample registers. The velocity-dependent "drag" and "mixed" models run
+IN-KERNEL instead — drag is elementwise in the velocity slabs, and mixed's
+sin/periodic components ride the table/scalars (build_kernel_disturb) —
+so every disturbance model runs fused.
 
 Semantics match ops/rollout.py `rollout_costs` exactly (pre-step rewards,
 reward freezing on termination, pre-update-velocity position integration,
@@ -70,12 +72,12 @@ def _atan2(y, x):
     r = jnp.where(ay > ax, pi / 2 - r, r)
     r = jnp.where(x < 0, pi - r, r)
     return jnp.where(y < 0, -r, r)
-# scalar-pack layout (f32 SMEM)
-_M, _G, _DT, _ALPHA, _ASCALE, _MAX_THRUST, _MO0, _MO1, _MO2, _DISCOUNT = range(10)
-
-
-def _supported(env: QuadEnv) -> bool:
-    return env.config.disturb_type != "drag" and env.config.disturb_type != "mixed"
+# scalar-pack layout (f32 SMEM); slots 10+ feed the in-kernel
+# velocity-dependent disturbance models (drag / mixed)
+(_M, _G, _DT, _ALPHA, _ASCALE, _MAX_THRUST, _MO0, _MO1, _MO2, _DISCOUNT,
+ _DSCALE, _DP0, _DP1, _DP2, _DRAW0, _DRAW1, _DRAW2) = range(17)
+NSCAL = 17
+NINT = 3  # [t0, max_steps, disturb_period]
 
 
 def build_disturb_table(env: QuadEnv, x0, t0, params, step_key, deterministic, H):
@@ -107,6 +109,75 @@ def build_disturb_table(env: QuadEnv, x0, t0, params, step_key, deterministic, H
     return jnp.concatenate([f0[None], fs], axis=0)
 
 
+def build_kernel_disturb(env: QuadEnv, x0, t0, params, step_key,
+                         deterministic, H):
+    """Disturbance inputs for the fused kernel: ``(table (H,3), draw (3,))``.
+
+    For state-independent models the table holds the f_disturb in effect
+    during each step (``build_disturb_table``) and the kernel reads it
+    directly. The velocity-dependent models run IN-KERNEL on per-sample
+    velocity slabs instead:
+
+      * "drag": f = -|scale| * rel_v * |rel_v| / 1.5^2 with
+        rel_v = v - disturb_params[:3]/2 (reference: free.py:41-47);
+        the table is unused (zeros), the carry starts from x0's f_disturb.
+      * "mixed": (drag + sin + periodic)/3 (reference: free.py:50-56).
+        The sin component is a closed form of the shared clock — the
+        table holds sin(t0+h); the periodic component re-draws every
+        `disturb_period` steps and otherwise passes the PREVIOUS mixed
+        value through, so it rides the in-kernel carry; the draw itself
+        is shared across steps (the reference reuses one step key,
+        mppi.py:69-74) and enters as a scalar.
+    """
+    dtype = env.config.disturb_type
+    if dtype not in ("drag", "mixed"):
+        table = build_disturb_table(env, x0, t0, params, step_key,
+                                    deterministic, H)
+        return table, jnp.zeros(3, jnp.float32)
+
+    disturb_key = dynamics.derive_dynamics_keys(step_key)
+    draw = jax.random.uniform(
+        disturb_key, (3,), minval=-params.disturb_scale,
+        maxval=params.disturb_scale,
+    )
+    if dtype == "drag":
+        return jnp.zeros((H, 3), jnp.float32), draw
+    times = t0 + jnp.arange(H)
+    sins = jax.vmap(
+        lambda t: dynamics.sin_disturb(None, params, t, None, jnp.zeros(3))
+    )(times)
+    return sins, draw
+
+
+def _pack_kernel_inputs(env, x0, t0, pos_traj, vel_traj, params, step_key,
+                        deterministic, discount, H):
+    """Flattened SMEM operands shared by both rollout kernels:
+    (ptar, vtar, disturbance table, scal (NSCAL,), ints (NINT,))."""
+    T = pos_traj.shape[0]
+    idx = jnp.clip(t0 + jnp.arange(H), 0, T - 1)
+    ptar = pos_traj[idx].reshape(-1)
+    vtar = vel_traj[idx].reshape(-1)
+    table, draw = build_kernel_disturb(
+        env, x0, t0, params, step_key, deterministic, H
+    )
+    dp = params.disturb_params
+    scal = jnp.stack(
+        [
+            params.m, params.g, jnp.float32(env._dt), params.alpha_bodyrate,
+            params.action_scale, params.max_thrust,
+            params.max_omega[0], params.max_omega[1], params.max_omega[2],
+            jnp.float32(discount),
+            params.disturb_scale, dp[0], dp[1], dp[2],
+            draw[0], draw[1], draw[2],
+        ]
+    ).astype(jnp.float32)
+    ints = jnp.array(
+        [t0, params.max_steps_in_episode, params.disturb_period],
+        dtype=jnp.int32,
+    )
+    return ptar, vtar, table.reshape(-1), scal, ints
+
+
 def _dyn_step(state, action, fdist, m, g, dt, alpha, ascale, max_thrust, mo):
     """One bodyrate dynamics step on unpacked state components
     (reference: free.py:75-112 with step_env's action clip folded in,
@@ -132,11 +203,11 @@ def _dyn_step(state, action, fdist, m, g, dt, alpha, ascale, max_thrust, mo):
 def _rollout_kernel(
     # SMEM (flattened with a per-scenario stride when batched)
     x0_ref,  # (B*16,) f32
-    scal_ref,  # (B*10,) f32, see _M.._DISCOUNT
-    int_ref,  # (B*2,) i32: [t0, max_steps]
+    scal_ref,  # (B*NSCAL,) f32, see _M.._DRAW2
+    int_ref,  # (B*NINT,) i32: [t0, max_steps, disturb_period]
     ptar_ref,  # (B*H*3,) f32
     vtar_ref,  # (B*H*3,) f32
-    dist_ref,  # (B*H*3,) f32
+    dist_ref,  # (B*H*3,) f32; per-step f table, or sin table for "mixed"
     # VMEM
     act_ref,  # (H, 4, SUB, LB) f32; leading scenario dim of 1 when batched
     cost_ref,  # (SUB, LB) f32 out; leading scenario dim of 1 when batched
@@ -144,12 +215,13 @@ def _rollout_kernel(
     H: int,
     reward_name: str,
     check_rollover: bool,
+    disturb_mode: str = "table",
     batched: bool = False,
 ):
     if batched:
         # grid = (scenarios, lane tiles); scalar tables are scenario-strided
         b = pl.program_id(0)
-        xo, so, io, to = b * 16, b * 10, b * 2, b * (H * 3)
+        xo, so, io, to = b * 16, b * NSCAL, b * NINT, b * (H * 3)
         act = lambda h, j: act_ref[0, h, j]
         shape = cost_ref.shape[1:]
     else:
@@ -166,6 +238,7 @@ def _rollout_kernel(
     discount = scal_ref[so + _DISCOUNT]
     t0 = int_ref[io + 0]
     max_steps = int_ref[io + 1]
+    period = int_ref[io + 2]
 
     def bc(s):  # broadcast scalar to the sample tile
         return jnp.full(shape, s, dtype=jnp.float32)
@@ -177,6 +250,16 @@ def _rollout_kernel(
     )
     vx, vy, vz = bc(x0_ref[xo + 7]), bc(x0_ref[xo + 8]), bc(x0_ref[xo + 9])
     wx, wy, wz = bc(x0_ref[xo + 10]), bc(x0_ref[xo + 11]), bc(x0_ref[xo + 12])
+    if disturb_mode != "table":
+        # velocity-dependent disturbance: per-sample carry from x0's f
+        fdx, fdy, fdz = (
+            bc(x0_ref[xo + 13]), bc(x0_ref[xo + 14]), bc(x0_ref[xo + 15])
+        )
+        abs_ds = jnp.abs(scal_ref[so + _DSCALE])
+        wind = (scal_ref[so + _DP0], scal_ref[so + _DP1], scal_ref[so + _DP2])
+        draw = (
+            scal_ref[so + _DRAW0], scal_ref[so + _DRAW1], scal_ref[so + _DRAW2]
+        )
 
     cost = jnp.zeros(shape, dtype=jnp.float32)
     r_prev = jnp.zeros(shape, dtype=jnp.float32)
@@ -187,9 +270,10 @@ def _rollout_kernel(
         ptx = ptar_ref[to + 3 * h]
         pty = ptar_ref[to + 3 * h + 1]
         ptz = ptar_ref[to + 3 * h + 2]
-        fdx = dist_ref[to + 3 * h]
-        fdy = dist_ref[to + 3 * h + 1]
-        fdz = dist_ref[to + 3 * h + 2]
+        if disturb_mode == "table":
+            fdx = dist_ref[to + 3 * h]
+            fdy = dist_ref[to + 3 * h + 1]
+            fdz = dist_ref[to + 3 * h + 2]
 
         # ---- reward on the PRE-step state (reference: quadrotor.py:243);
         # single definition in models/scalar_core, polynomial atan2 injected
@@ -222,6 +306,30 @@ def _rollout_kernel(
         time_up = (t0 + h) >= max_steps  # scalar, broadcasts
         d_prev = d_prev | d_now | time_up
 
+        # ---- velocity-dependent disturbance update (drag / mixed):
+        # f for the NEXT step comes from the PRE-step velocity
+        # (reference: free.py:147 updates after integrating with the
+        # carried f; free.py:41-56). Elementwise on the velocity slabs.
+        if disturb_mode != "table":
+            relx, rely, relz = (
+                vx - wind[0] * 0.5, vy - wind[1] * 0.5, vz - wind[2] * 0.5
+            )
+            drx = -abs_ds * relx * jnp.abs(relx) / 2.25
+            dry = -abs_ds * rely * jnp.abs(rely) / 2.25
+            drz = -abs_ds * relz * jnp.abs(relz) / 2.25
+            if disturb_mode == "drag":
+                fdnx, fdny, fdnz = drx, dry, drz
+            else:  # mixed = (drag + sin + periodic) / 3; sin rides dist_ref,
+                # periodic re-draws every `period` steps else passes the
+                # previous mixed value through (per-sample)
+                redraw = ((t0 + h) % period) == 0  # scalar, broadcasts
+                perx = jnp.where(redraw, bc(draw[0]), fdx)
+                pery = jnp.where(redraw, bc(draw[1]), fdy)
+                perz = jnp.where(redraw, bc(draw[2]), fdz)
+                fdnx = (drx + dist_ref[to + 3 * h] + perx) / 3.0
+                fdny = (dry + dist_ref[to + 3 * h + 1] + pery) / 3.0
+                fdnz = (drz + dist_ref[to + 3 * h + 2] + perz) / 3.0
+
         # ---- dynamics (reference: free.py:75-112)
         (px, py, pz, qx, qy, qz, qw, vx, vy, vz, wx, wy, wz) = _dyn_step(
             (px, py, pz, qx, qy, qz, qw, vx, vy, vz, wx, wy, wz),
@@ -229,6 +337,8 @@ def _rollout_kernel(
             (fdx, fdy, fdz),
             m, g, dt, alpha, ascale, max_thrust, mo,
         )
+        if disturb_mode != "table":
+            fdx, fdy, fdz = fdnx, fdny, fdnz
 
     if batched:
         cost_ref[0, :, :] = cost
@@ -239,19 +349,17 @@ def _rollout_kernel(
 def make_pallas_rollout(env: QuadEnv, interpret: bool = False):
     """Build the fused rollout-cost engine. Same contract as
     ops.rollout.make_rollout's `rollout_costs` (fast path: no pose
-    collection, no shard_map vma plumbing).
-
-    Requires N % 1024 == 0 (tile alignment) and a state-independent
-    disturbance model (everything except "drag"/"mixed").
+    collection). Supports every disturbance model (velocity-dependent
+    "drag"/"mixed" run in-kernel on the velocity slabs; the rest ride a
+    precomputed table — see build_kernel_disturb) and any N (ragged
+    sample counts are tile-padded).
     """
-    if not _supported(env):
-        raise NotImplementedError(
-            f"disturb_type {env.config.disturb_type!r} is velocity-dependent; "
-            "use the jnp rollout engine"
-        )
     reward_name = env.reward_name
     check_rollover = not env.config.disable_rollover_terminate
-    dt = env._dt
+    disturb_mode = (
+        env.config.disturb_type
+        if env.config.disturb_type in ("drag", "mixed") else "table"
+    )
 
     def rollout_costs(
         x0, t0, pos_traj, vel_traj, actions, params, step_key,
@@ -265,11 +373,18 @@ def make_pallas_rollout(env: QuadEnv, interpret: bool = False):
         if collect_poses:
             raise NotImplementedError("pallas engine does not collect poses")
         N, H, dA = actions.shape
-        assert dA == 4 and N % (SUB * 128) == 0, (
-            f"pallas rollout needs action_dim=4 and N divisible by {SUB*128} "
-            f"(tile alignment); got N={N}, H={H}, dA={dA}"
-        )
-        lanes = N // SUB
+        assert dA == 4, f"pallas rollout needs action_dim=4, got {dA}"
+        # tile alignment: pad the sample axis up to a whole (8, 128) tile
+        # with zero actions and slice their costs away — a single tile
+        # computes 1024 samples regardless, so small/ragged N costs nothing
+        # extra (enables the fused engine for the N-ablation's N=16..512)
+        TILE = SUB * 128
+        N_pad = -(-N // TILE) * TILE
+        if N_pad != N:
+            actions = jnp.concatenate(
+                [actions, jnp.zeros((N_pad - N, H, dA), actions.dtype)]
+            )
+        lanes = N_pad // SUB
         # lane-block size must DIVIDE lanes or the tail blocks are never
         # computed (grid = lanes // LB): N % 1024 == 0 guarantees
         # lanes % 128 == 0, so halving from 512 always terminates
@@ -277,23 +392,10 @@ def make_pallas_rollout(env: QuadEnv, interpret: bool = False):
         while lanes % LB:
             LB //= 2
 
-        T = pos_traj.shape[0]
-        idx = jnp.clip(t0 + jnp.arange(H), 0, T - 1)
-        ptar = pos_traj[idx].reshape(-1)
-        vtar = vel_traj[idx].reshape(-1)
-        dist = build_disturb_table(
-            env, x0, t0, params, step_key, deterministic, H
-        ).reshape(-1)
-
-        scal = jnp.stack(
-            [
-                params.m, params.g, jnp.float32(dt), params.alpha_bodyrate,
-                params.action_scale, params.max_thrust,
-                params.max_omega[0], params.max_omega[1], params.max_omega[2],
-                jnp.float32(discount),
-            ]
-        ).astype(jnp.float32)
-        ints = jnp.array([t0, params.max_steps_in_episode], dtype=jnp.int32)
+        ptar, vtar, dist, scal, ints = _pack_kernel_inputs(
+            env, x0, t0, pos_traj, vel_traj, params, step_key,
+            deterministic, discount, H,
+        )
 
         # (N, H, 4) -> (H, 4, SUB, lanes); sample n sits at
         # (sub, lane) = divmod-free n = sub * lanes + lane
@@ -304,6 +406,7 @@ def make_pallas_rollout(env: QuadEnv, interpret: bool = False):
             H=H,
             reward_name=reward_name,
             check_rollover=check_rollover,
+            disturb_mode=disturb_mode,
         )
         costs2d = pl.pallas_call(
             kernel,
@@ -331,7 +434,7 @@ def make_pallas_rollout(env: QuadEnv, interpret: bool = False):
             interpret=interpret,
         )(x0[:16], scal, ints, ptar, vtar, dist, acts)
 
-        return costs2d.reshape(N), None
+        return costs2d.reshape(N_pad)[:N], None
 
     return rollout_costs
 
@@ -347,25 +450,28 @@ def make_pallas_rollout_batched(env: QuadEnv, interpret: bool = False):
     vel_trajs, actions (B,N,H,dA), params_b (leaves batched on axis 0),
     step_keys (B,...), deterministic, discount) -> costs (B, N)``.
     """
-    if not _supported(env):
-        raise NotImplementedError(
-            f"disturb_type {env.config.disturb_type!r} is velocity-dependent; "
-            "use the jnp rollout engine"
-        )
     reward_name = env.reward_name
     check_rollover = not env.config.disable_rollover_terminate
-    dt = env._dt
+    disturb_mode = (
+        env.config.disturb_type
+        if env.config.disturb_type in ("drag", "mixed") else "table"
+    )
 
     def rollout_costs_b(
         x0s, t0s, pos_trajs, vel_trajs, actions, params_b, step_keys,
         deterministic: bool = False, discount=1.0, vma=(),
     ):
         B, N, H, dA = actions.shape
-        assert dA == 4 and N % (SUB * 128) == 0, (
-            f"pallas batched rollout needs action_dim=4 and N divisible by {SUB*128} "
-            f"(tile alignment); got B={B}, N={N}, H={H}, dA={dA}"
-        )
-        lanes = N // SUB
+        assert dA == 4, f"pallas batched rollout needs action_dim=4, got {dA}"
+        # pad the sample axis to a whole tile (see make_pallas_rollout)
+        TILE = SUB * 128
+        N_pad = -(-N // TILE) * TILE
+        if N_pad != N:
+            actions = jnp.concatenate(
+                [actions, jnp.zeros((B, N_pad - N, H, dA), actions.dtype)],
+                axis=1,
+            )
+        lanes = N_pad // SUB
         # lane-block size must DIVIDE lanes or the tail blocks are never
         # computed (grid = lanes // LB): N % 1024 == 0 guarantees
         # lanes % 128 == 0, so halving from 512 always terminates
@@ -374,27 +480,11 @@ def make_pallas_rollout_batched(env: QuadEnv, interpret: bool = False):
             LB //= 2
         T = pos_trajs.shape[1]
 
-        def per_scenario_tables(x0, t0, pos_traj, vel_traj, params, step_key):
-            idx = jnp.clip(t0 + jnp.arange(H), 0, T - 1)
-            ptar = pos_traj[idx].reshape(-1)
-            vtar = vel_traj[idx].reshape(-1)
-            dist = build_disturb_table(
-                env, x0, t0, params, step_key, deterministic, H
-            ).reshape(-1)
-            scal = jnp.stack(
-                [
-                    params.m, params.g, jnp.float32(dt), params.alpha_bodyrate,
-                    params.action_scale, params.max_thrust,
-                    params.max_omega[0], params.max_omega[1],
-                    params.max_omega[2], jnp.float32(discount),
-                ]
-            ).astype(jnp.float32)
-            ints = jnp.array([t0, params.max_steps_in_episode], dtype=jnp.int32)
-            return ptar, vtar, dist, scal, ints
-
-        ptar, vtar, dist, scal, ints = jax.vmap(per_scenario_tables)(
-            x0s, t0s, pos_trajs, vel_trajs, params_b, step_keys
-        )
+        ptar, vtar, dist, scal, ints = jax.vmap(
+            lambda x0, t0, pt, vt, p, k: _pack_kernel_inputs(
+                env, x0, t0, pt, vt, p, k, deterministic, discount, H
+            )
+        )(x0s, t0s, pos_trajs, vel_trajs, params_b, step_keys)
 
         acts = actions.transpose(0, 2, 3, 1).reshape(B, H, dA, SUB, lanes)
 
@@ -403,6 +493,7 @@ def make_pallas_rollout_batched(env: QuadEnv, interpret: bool = False):
             H=H,
             reward_name=reward_name,
             check_rollover=check_rollover,
+            disturb_mode=disturb_mode,
             batched=True,
         )
         costs = pl.pallas_call(
@@ -438,7 +529,7 @@ def make_pallas_rollout_batched(env: QuadEnv, interpret: bool = False):
             dist.reshape(-1),
             acts,
         )
-        return costs.reshape(B, N)
+        return costs.reshape(B, N_pad)[:, :N]
 
     return rollout_costs_b
 

@@ -23,7 +23,6 @@ from covo_mpc_tpu.models.structs import pack_state
 from covo_mpc_tpu.ops import reductions, sampling
 from covo_mpc_tpu.ops.rollout import make_rollout
 from covo_mpc_tpu.parallel.mesh import SAMPLE_AXIS, SCENARIO_AXIS
-from covo_mpc_tpu.parallel.sharded import PALLAS_TILE
 from covo_mpc_tpu.utils.vma import pvary
 
 
@@ -62,12 +61,7 @@ def _make_batched_cost_engine(env, engine: str, n_local: int,
     elif engine == "pallas":
         from covo_mpc_tpu.ops.rollout_pallas import make_pallas_rollout_batched
 
-        if n_local % PALLAS_TILE:
-            raise ValueError(
-                f"pallas engine needs the per-shard sample count divisible "
-                f"by {PALLAS_TILE}; got {n_local} — use more samples or "
-                f"fewer sample shards (or engine='jnp')"
-            )
+        # ragged per-shard sample counts are tile-padded by the kernel
         rollout_b = make_pallas_rollout_batched(env, interpret=interpret)
 
         def costs_fn(x0s, t0s, pos_trajs, vel_trajs, actions, params_b,

@@ -70,12 +70,9 @@ def make_cost_engine(env, engine: str, n_local: int, interpret: bool = False):
     elif engine == "pallas":
         from covo_mpc_tpu.ops.rollout_pallas import make_pallas_rollout
 
-        if n_local % PALLAS_TILE:
-            raise ValueError(
-                f"pallas engine needs the per-shard sample count divisible "
-                f"by {PALLAS_TILE}; got {n_local} — use more samples or "
-                f"fewer shards (or engine='jnp')"
-            )
+        # ragged per-shard sample counts are tile-padded by the kernel;
+        # below PALLAS_TILE samples per shard each shard still computes a
+        # full 1024-sample tile, so prefer fewer shards at tiny N
         rollout = make_pallas_rollout(env, interpret=interpret)
 
         def costs_fn(x0, t0, pos_traj, vel_traj, actions, params, step_key,

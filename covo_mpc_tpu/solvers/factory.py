@@ -31,19 +31,14 @@ def parse_sample_params(param_text: str):
 
 
 def resolve_engine(env, N: int, engine: str, collect_debug: bool) -> str:
-    """Resolve engine="auto": the fused Pallas rollout when it applies
-    (TPU backend, tile-aligned N, state-independent disturbance, no debug
-    pose collection), else the jnp engine."""
+    """Resolve engine="auto": the fused Pallas rollout on TPU (the kernel
+    covers every disturbance model and tile-pads ragged N), unless debug
+    pose collection is requested (kernel computes costs only)."""
     if engine != "auto":
         return engine
     import jax
 
-    if (
-        jax.default_backend() == "tpu"
-        and N % 1024 == 0
-        and env.config.disturb_type not in ("drag", "mixed")
-        and not collect_debug
-    ):
+    if jax.default_backend() == "tpu" and not collect_debug:
         return "pallas"
     return "jnp"
 

@@ -120,10 +120,50 @@ def test_disturb_table_matches_rollout_semantics():
     np.testing.assert_allclose(table[0], x0[13:16], atol=1e-7)
 
 
-def test_drag_unsupported():
-    env = make_env(disturb_type="drag")
-    with pytest.raises(NotImplementedError):
-        make_pallas_rollout(env)
+@pytest.mark.parametrize("disturb", ["drag", "mixed"])
+def test_velocity_dependent_disturbances_in_kernel(disturb):
+    """"drag"/"mixed" depend on per-sample velocity and run IN-KERNEL on
+    the velocity slabs (build_kernel_disturb) — must match the jnp engine
+    including the periodic redraw inside "mixed"."""
+    env = make_env(disturb_type=disturb)
+    params, state, x0, actions = _setup(env)
+    # start mid-episode so the horizon crosses a disturb_period boundary
+    # (period=50): exercises the in-kernel periodic redraw of "mixed"
+    t0 = 47
+    # give the start state a nonzero disturbance carry
+    x0 = x0.at[13:16].set(jnp.array([0.02, -0.01, 0.015]))
+    jnp_engine = make_rollout(env)
+    pallas_engine = make_pallas_rollout(env, interpret=True)
+    key = jax.random.PRNGKey(3)
+    ref, _ = jnp_engine(
+        x0, t0, state.pos_traj, state.vel_traj, actions, params, key,
+        deterministic=False, discount=0.99,
+    )
+    got, _ = pallas_engine(
+        x0, t0, state.pos_traj, state.vel_traj, actions, params, key,
+        deterministic=False, discount=0.99,
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-5)
+
+
+@pytest.mark.parametrize("n", [16, 384, 1000])
+def test_ragged_sample_counts_tile_padded(n):
+    """N below / not divisible by the 1024-sample tile is zero-padded and
+    sliced — the fused engine now serves the N-ablation's small N too."""
+    env = make_env()
+    params, state, x0, _ = _setup(env)
+    a = jax.random.normal(jax.random.PRNGKey(4), (n, H, 4)) * 0.4
+    key = jax.random.PRNGKey(3)
+    ref, _ = make_rollout(env)(
+        x0, state.time, state.pos_traj, state.vel_traj, a, params, key,
+        deterministic=True, discount=1.0,
+    )
+    got, _ = make_pallas_rollout(env, interpret=True)(
+        x0, state.time, state.pos_traj, state.vel_traj, a, params, key,
+        deterministic=True, discount=1.0,
+    )
+    assert got.shape == (n,)
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-5)
 
 
 def test_atan2_polynomial_accuracy():

@@ -486,9 +486,24 @@ def test_distributed_covo_solve_matches_solver(setup):
     np.testing.assert_allclose(outs[4], outs[1], atol=1e-5)
 
 
-def test_pallas_engine_rejects_misaligned_shards(setup):
-    env, _, _ = setup
-    mesh = make_mesh(samples=2, scenarios=1, devices=jax.devices()[:2])
-    with pytest.raises(ValueError, match="divisible"):
-        make_sharded_mppi_solve(env, mesh, N=1024, H=4, lam=0.01,
-                                engine="pallas", interpret=True)
+@pytest.mark.slow
+def test_pallas_engine_handles_ragged_shards(setup):
+    """Per-shard sample counts below the 1024 tile are zero-padded by the
+    kernel — a misaligned mesh still returns the exact sharded result."""
+    env, params, state = setup
+    a_mean = hover_sequence(env, HP_)
+    a_cov = jnp.tile(jnp.eye(4) * 0.25, (HP_, 1, 1))
+    act_key, step_key = jax.random.split(jax.random.PRNGKey(5))
+
+    outs = {}
+    for engine in ("jnp", "pallas"):
+        mesh = make_mesh(samples=2, scenarios=1, devices=jax.devices()[:2])
+        solve = make_sharded_mppi_solve(env, mesh, N=1024, H=HP_, lam=0.01,
+                                        engine=engine, interpret=True)
+        a_mean_new, _, min_cost = solve(
+            pack_state(state), state.time, state.pos_traj, state.vel_traj,
+            a_mean, a_cov, 1.0, 0.0, 1.0, params, act_key, step_key,
+        )
+        outs[engine] = (np.asarray(a_mean_new), float(min_cost))
+    np.testing.assert_allclose(outs["pallas"][0], outs["jnp"][0], atol=1e-4)
+    assert outs["pallas"][1] == pytest.approx(outs["jnp"][1], abs=1e-3)
