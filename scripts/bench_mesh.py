@@ -65,6 +65,11 @@ def parse_args():
                     help="force the CPU backend (plumbing smoke test; pair "
                          "with XLA_FLAGS=--xla_force_host_platform_device_"
                          "count=8 for a virtual 8-chip mesh)")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host pod run: jax.distributed.initialize via "
+                         "COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID "
+                         "env vars (one process per host), then bench over "
+                         "the global device set")
     return ap.parse_args()
 
 
@@ -238,6 +243,12 @@ def main():
         # env var alone is not enough on this machine — sitecustomize
         # registers the remote TPU backend in every process
         jax.config.update("jax_platforms", "cpu")
+    if args.distributed:
+        from covo_mpc_tpu.parallel.distributed import initialize_distributed
+
+        pid = initialize_distributed()
+        print(f"[mesh] multi-host process {pid} up, "
+              f"{len(jax.devices())} global devices", file=sys.stderr)
     n_dev = len(jax.devices())
     backend = jax.default_backend()
     print(

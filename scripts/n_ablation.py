@@ -8,9 +8,9 @@ writes RESULTS_N.md. The paper's claim: CoVO's advantage over MPPI grows
 as the sample budget shrinks (optimal Σ matters most when samples are
 scarce).
 
-Small N is not tile-aligned for the fused rollout kernel, so the sweep
-uses the jnp engine (this is a control-quality experiment, not a
-throughput one).
+Runs the fused Pallas rollout engine at every N on TPU (ragged sample
+counts are tile-padded by the kernel) — the same engine the flagship
+benchmark uses, so quality and throughput claims share one code path.
 
 Usage: python scripts/n_ablation.py [--quick] [--ns 16 64 256]
 """
@@ -63,6 +63,7 @@ def main():
                 env, name, f"N{n}_H{args.h}_lam0.01", rng_mode=sampling.FAST,
                 hessian_mode="adjoint" if "covo" in name else "fwd_fwd",
                 collect_debug=False, sigma_mode="ns" if "covo" in name else "eigh",
+                engine="auto",
             )
             t0 = time.time()
             res = evaluate(env, solver, total_steps=total_steps)
@@ -79,8 +80,9 @@ def main():
         f"Protocol: {total_steps//300} episodes per cell "
         "(reference sweep: scripts/covo_quadrotor_N.sh). err_pos in cm, "
         f"mean ± std over episodes. Device: {jax.devices()[0]}. "
-        "jnp engine (small N is not tile-aligned), adjoint Hessian, "
-        "ns designer, fast sampler.",
+        "engine=auto (fused Pallas kernel on TPU at every N — ragged "
+        "sample counts tile-padded), adjoint Hessian, ns designer, fast "
+        "sampler.",
         "",
         "| N | " + " | ".join(args.controllers) + " | CoVO-on vs MPPI |",
         "|---|" + "---|" * (len(args.controllers) + 1),
