@@ -57,3 +57,21 @@ def cov_update(
     dev = a_sampled - a_mean_new[None]
     weighted = jnp.einsum("n,nhi,nhj->hij", weight, dev, dev)
     return weighted * gamma_sigma + a_cov * (1.0 - gamma_sigma)
+
+
+# --- kernel-layout (sample-axis-last) twins: same math on (H, dA, N) /
+# --- (D, N) samples, avoiding the action-tensor transpose on the fused
+# --- Pallas fast path (ops/sampling.sample_*_t) ------------------------
+
+
+def mean_update_t(weight, a_t, a_mean, gamma_mean):
+    """:func:`mean_update` on (H, dA, N) samples."""
+    weighted = jnp.einsum("n,hdn->hd", weight, a_t)
+    return weighted * gamma_mean + a_mean * (1.0 - gamma_mean)
+
+
+def cov_update_t(weight, a_t, a_mean_new, a_cov, gamma_sigma):
+    """:func:`cov_update` on (H, dA, N) samples."""
+    dev = a_t - a_mean_new[..., None]
+    weighted = jnp.einsum("n,hin,hjn->hij", weight, dev, dev)
+    return weighted * gamma_sigma + a_cov * (1.0 - gamma_sigma)

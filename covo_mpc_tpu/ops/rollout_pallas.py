@@ -364,15 +364,24 @@ def make_pallas_rollout(env: QuadEnv, interpret: bool = False):
     def rollout_costs(
         x0, t0, pos_traj, vel_traj, actions, params, step_key,
         deterministic: bool = False, discount=1.0, collect_poses: bool = False,
-        vma=(),
+        vma=(), layout: str = "nhd",
     ):
         """``vma``: mesh axes the output varies over — required when the
         kernel runs inside shard_map (check_vma demands an explicit
         declaration on pallas out_shapes; inputs are promoted by the
-        caller, covo_mpc_tpu.parallel.sharded.make_cost_engine)."""
+        caller, covo_mpc_tpu.parallel.sharded.make_cost_engine).
+
+        ``layout``: "nhd" = actions (N, H, dA) (the jnp-engine contract,
+        transposed here); "hdn" = actions (H, dA, N) or (H*dA, N) already
+        in kernel layout (what ops/sampling.sample_*_t emit) — skips the
+        4 MB transpose on the hot path."""
         if collect_poses:
             raise NotImplementedError("pallas engine does not collect poses")
-        N, H, dA = actions.shape
+        if layout == "nhd":
+            N, H, dA = actions.shape
+        else:
+            actions = actions.reshape(-1, 4, actions.shape[-1])
+            H, dA, N = actions.shape
         assert dA == 4, f"pallas rollout needs action_dim=4, got {dA}"
         # tile alignment: pad the sample axis up to a whole (8, 128) tile
         # with zero actions and slice their costs away — a single tile
@@ -381,8 +390,12 @@ def make_pallas_rollout(env: QuadEnv, interpret: bool = False):
         TILE = SUB * 128
         N_pad = -(-N // TILE) * TILE
         if N_pad != N:
+            pad_shape = (
+                (N_pad - N, H, dA) if layout == "nhd" else (H, dA, N_pad - N)
+            )
             actions = jnp.concatenate(
-                [actions, jnp.zeros((N_pad - N, H, dA), actions.dtype)]
+                [actions, jnp.zeros(pad_shape, actions.dtype)],
+                axis=0 if layout == "nhd" else -1,
             )
         lanes = N_pad // SUB
         # lane-block size must DIVIDE lanes or the tail blocks are never
@@ -397,9 +410,12 @@ def make_pallas_rollout(env: QuadEnv, interpret: bool = False):
             deterministic, discount, H,
         )
 
-        # (N, H, 4) -> (H, 4, SUB, lanes); sample n sits at
+        # -> (H, 4, SUB, lanes); sample n sits at
         # (sub, lane) = divmod-free n = sub * lanes + lane
-        acts = actions.transpose(1, 2, 0).reshape(H, dA, SUB, lanes)
+        if layout == "nhd":
+            acts = actions.transpose(1, 2, 0).reshape(H, dA, SUB, lanes)
+        else:
+            acts = actions.reshape(H, dA, SUB, lanes)
 
         kernel = functools.partial(
             _rollout_kernel,

@@ -90,3 +90,40 @@ def sample_joint(
     else:
         z = _std_normal(key, N, (D,), mode, sample_ids)
     return mean_flat[None] + z @ factor.T
+
+
+def sample_joint_t(
+    key: jax.Array,
+    mean_flat: jnp.ndarray,  # (D,)
+    factor: jnp.ndarray,  # (D, D)
+    N: int,
+    mode: str = FAST,
+    sample_ids: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """:func:`sample_joint` emitted directly in the fused kernel's (D, N)
+    layout — the SAME draws (z stays (N, D); the MXU contracts
+    ``factor @ z.T`` without materializing a transpose), so downstream
+    never pays the 4 MB action-tensor transpose the (N, D) layout needs
+    before the kernel (measured ~11 µs/solve at N=8192, D=128)."""
+    if mode == PARITY:  # pragma: no cover - parity pairs with the jnp engine
+        raise ValueError("transposed sampling is a fast-path layout")
+    z = _std_normal(key, N, (mean_flat.shape[0],), mode, sample_ids)
+    return mean_flat[:, None] + jnp.einsum("ed,nd->en", factor, z)
+
+
+def sample_per_step_t(
+    key: jax.Array,
+    a_mean: jnp.ndarray,  # (H, dA)
+    a_cov: jnp.ndarray,  # (H, dA, dA)
+    N: int,
+    mode: str = FAST,
+    sample_ids: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """:func:`sample_per_step` emitted in the fused kernel's (H, dA, N)
+    layout (same draws, no materialized transpose)."""
+    if mode == PARITY:  # pragma: no cover
+        raise ValueError("transposed sampling is a fast-path layout")
+    chol = jnp.linalg.cholesky(a_cov)
+    H, dA = a_mean.shape
+    z = _std_normal(key, N, (H, dA), mode, sample_ids)
+    return a_mean[..., None] + jnp.einsum("hij,nhj->hin", chol, z)

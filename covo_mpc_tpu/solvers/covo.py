@@ -113,8 +113,12 @@ class CoVOSolver(BaseSolver):
             self.rollout = make_pallas_rollout(
                 env, interpret=(engine == "pallas_interpret")
             )
+            # fast samplers emit actions directly in the kernel's
+            # sample-axis-last layout — no 4 MB transpose on the hot path
+            self.transposed = rng_mode != sampling.PARITY
         elif engine == "jnp":
             self.rollout = make_rollout(env)
+            self.transposed = False
         else:
             raise ValueError(f"unknown engine {engine!r}")
         if hessian_mode == "sensitivity":
@@ -259,13 +263,48 @@ class CoVOSolver(BaseSolver):
         rng_act, act_key = jax.random.split(rng_act)
         if self.rng_mode == sampling.PARITY or factor is None:
             factor = jnp.linalg.cholesky(a_cov)
+        rng_act, step_key = jax.random.split(rng_act)
+
+        if self.transposed:
+            # kernel-layout fast path: same draws, actions stay (D, N)
+            a_t = jnp.clip(
+                sampling.sample_joint_t(
+                    act_key, a_mean.flatten(), factor, self.N,
+                    mode=self.rng_mode,
+                ),
+                -1.0, 1.0,
+            )
+            costs, _ = self.rollout(
+                pack_state(env_state), env_state.time, env_state.pos_traj,
+                env_state.vel_traj, a_t, env_params, step_key,
+                deterministic=True, discount=control_params.discount,
+                layout="hdn",
+            )
+            weight = reductions.mppi_weights(costs, self.lam)
+            a_mean = reductions.mean_update_t(
+                weight, a_t.reshape(self.H, self.action_dim, self.N),
+                control_params.a_mean, control_params.gamma_mean,
+            )
+            control_params = control_params.replace(a_mean=a_mean)
+            info = {}
+            if self.collect_metrics:
+                from covo_mpc_tpu.runtime.metrics import (
+                    sigma_metrics,
+                    solve_metrics,
+                )
+
+                info["metrics"] = {
+                    **solve_metrics(costs, weight),
+                    **sigma_metrics(a_cov),
+                }
+            return control_params.a_mean[0], control_params, info
+
         a_flat = sampling.sample_joint(
             act_key, a_mean.flatten(), factor, self.N, mode=self.rng_mode
         )
         a_sampled = jnp.clip(a_flat.reshape(self.N, self.H, -1), -1.0, 1.0)
 
         # deterministic rollouts (reference: covo.py:231)
-        rng_act, step_key = jax.random.split(rng_act)
         costs, poses = self.rollout(
             pack_state(env_state),
             env_state.time,

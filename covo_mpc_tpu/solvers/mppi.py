@@ -65,8 +65,12 @@ class MPPISolver(BaseSolver):
             self.rollout = make_pallas_rollout(
                 env, interpret=(engine == "pallas_interpret")
             )
+            # fast samplers emit actions directly in the kernel's
+            # sample-axis-last layout — no 4 MB transpose on the hot path
+            self.transposed = rng_mode != sampling.PARITY
         elif engine == "jnp":
             self.rollout = make_rollout(env)
+            self.transposed = False
         else:
             raise ValueError(f"unknown engine {engine!r}")
 
@@ -85,13 +89,43 @@ class MPPISolver(BaseSolver):
 
         # sample N action sequences (reference key chain: mppi.py:53-54)
         rng_act, act_key = jax.random.split(rng_act)
+        rng_act, step_key = jax.random.split(rng_act)
+        if self.transposed:
+            # kernel-layout fast path: same draws, actions stay (H, dA, N)
+            a_t = jnp.clip(
+                sampling.sample_per_step_t(
+                    act_key, a_mean, a_cov, self.N, mode=self.rng_mode
+                ),
+                -1.0, 1.0,
+            )
+            costs, poses = self.rollout(
+                pack_state(env_state), env_state.time, env_state.pos_traj,
+                env_state.vel_traj, a_t, env_params, step_key,
+                deterministic=False, discount=control_params.discount,
+                layout="hdn",
+            )
+            weight = reductions.mppi_weights(costs, self.lam)
+            a_mean = reductions.mean_update_t(
+                weight, a_t, control_params.a_mean, control_params.gamma_mean
+            )
+            a_cov = reductions.cov_update_t(
+                weight, a_t, a_mean, control_params.a_cov,
+                control_params.gamma_sigma,
+            )
+            control_params = control_params.replace(a_mean=a_mean, a_cov=a_cov)
+            info = {}
+            if self.collect_metrics:
+                from covo_mpc_tpu.runtime.metrics import solve_metrics
+
+                info["metrics"] = solve_metrics(costs, weight)
+            return control_params.a_mean[0], control_params, info
+
         a_sampled = sampling.sample_per_step(
             act_key, a_mean, a_cov, self.N, mode=self.rng_mode
         )
         a_sampled = jnp.clip(a_sampled, -1.0, 1.0)
 
         # rollout all samples; one shared step key (reference: mppi.py:69)
-        rng_act, step_key = jax.random.split(rng_act)
         costs, poses = self.rollout(
             pack_state(env_state),
             env_state.time,
