@@ -475,17 +475,30 @@ def make_pallas_rollout_batched(env: QuadEnv, interpret: bool = False):
 
     def rollout_costs_b(
         x0s, t0s, pos_trajs, vel_trajs, actions, params_b, step_keys,
-        deterministic: bool = False, discount=1.0, vma=(),
+        deterministic: bool = False, discount=1.0, vma=(), layout="bnhd",
     ):
-        B, N, H, dA = actions.shape
+        """``layout``: "bnhd" = actions (B, N, H, dA); "bhdn" = actions
+        (B, H, dA, N) or (B, H*dA, N) already in kernel layout (what the
+        transposed samplers emit) — skips the per-scenario transposes."""
+        if layout == "bnhd":
+            B, N, H, dA = actions.shape
+        else:
+            actions = actions.reshape(
+                actions.shape[0], -1, 4, actions.shape[-1]
+            )
+            B, H, dA, N = actions.shape
         assert dA == 4, f"pallas batched rollout needs action_dim=4, got {dA}"
         # pad the sample axis to a whole tile (see make_pallas_rollout)
         TILE = SUB * 128
         N_pad = -(-N // TILE) * TILE
         if N_pad != N:
+            pad_shape = (
+                (B, N_pad - N, H, dA) if layout == "bnhd"
+                else (B, H, dA, N_pad - N)
+            )
             actions = jnp.concatenate(
-                [actions, jnp.zeros((B, N_pad - N, H, dA), actions.dtype)],
-                axis=1,
+                [actions, jnp.zeros(pad_shape, actions.dtype)],
+                axis=1 if layout == "bnhd" else -1,
             )
         lanes = N_pad // SUB
         # lane-block size must DIVIDE lanes or the tail blocks are never
@@ -502,7 +515,10 @@ def make_pallas_rollout_batched(env: QuadEnv, interpret: bool = False):
             )
         )(x0s, t0s, pos_trajs, vel_trajs, params_b, step_keys)
 
-        acts = actions.transpose(0, 2, 3, 1).reshape(B, H, dA, SUB, lanes)
+        if layout == "bnhd":
+            acts = actions.transpose(0, 2, 3, 1).reshape(B, H, dA, SUB, lanes)
+        else:
+            acts = actions.reshape(B, H, dA, SUB, lanes)
 
         kernel = functools.partial(
             _rollout_kernel,

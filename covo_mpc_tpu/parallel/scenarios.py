@@ -44,7 +44,9 @@ def _make_batched_cost_engine(env, engine: str, n_local: int,
         rollout = make_rollout(env)
 
         def costs_fn(x0s, t0s, pos_trajs, vel_trajs, actions, params_b,
-                     step_keys, deterministic, discount):
+                     step_keys, deterministic, discount, layout="bnhd"):
+            assert layout == "bnhd", "jnp engine takes (B, N, H, dA) actions"
+
             def one(x0, t0, pt, vt, a, p, k):
                 costs, _ = rollout(
                     x0, t0, pt, vt, a, p, k,
@@ -65,7 +67,7 @@ def _make_batched_cost_engine(env, engine: str, n_local: int,
         rollout_b = make_pallas_rollout_batched(env, interpret=interpret)
 
         def costs_fn(x0s, t0s, pos_trajs, vel_trajs, actions, params_b,
-                     step_keys, deterministic, discount):
+                     step_keys, deterministic, discount, layout="bnhd"):
             # promote replicated operands to the sampled actions' vma so
             # the kernel call sees one consistent varying set (shard_map;
             # empty — a no-op — under the interpret tests' check_vma=False)
@@ -79,7 +81,7 @@ def _make_batched_cost_engine(env, engine: str, n_local: int,
             return rollout_b(
                 x0s, t0s, pos_trajs, vel_trajs, actions, params_b, step_keys,
                 deterministic=deterministic, discount=discount,
-                vma=tuple(vary),
+                vma=tuple(vary), layout=layout,
             )
 
     else:
@@ -107,6 +109,9 @@ def make_multichip_control_step(env, mesh, N: int, H: int, lam: float,
         raise ValueError(f"N={N} not divisible by {n_sample_shards}")
     n_local = N // n_sample_shards
     costs_engine = _make_batched_cost_engine(env, engine, n_local, interpret)
+    # fast path samples in the kernel's sample-axis-last layout (same
+    # draws — ops/sampling.sample_per_step_t), skipping per-shard transposes
+    transposed = engine == "pallas"
 
     def local_step(states, params_b, a_means, a_covs, keys,
                    gamma_mean, gamma_sigma, discount):
@@ -118,8 +123,12 @@ def make_multichip_control_step(env, mesh, N: int, H: int, lam: float,
 
         shard = lax.axis_index(SAMPLE_AXIS)
         ids = shard * n_local + jnp.arange(n_local)
+        sampler = (
+            sampling.sample_per_step_t if transposed
+            else sampling.sample_per_step
+        )
         a_local = jax.vmap(
-            lambda k, m, c: sampling.sample_per_step(
+            lambda k, m, c: sampler(
                 k, m, c, n_local, mode=sampling.INVARIANT, sample_ids=ids
             )
         )(act_keys, a_means, a_covs)
@@ -129,21 +138,27 @@ def make_multichip_control_step(env, mesh, N: int, H: int, lam: float,
         costs = costs_engine(
             x0s, states.time, states.pos_traj, states.vel_traj,
             a_local, params_b, step_keys, False, discount,
+            layout="bhdn" if transposed else "bnhd",
         )
 
         min_cost = lax.pmin(jnp.min(costs, axis=1), SAMPLE_AXIS)
         unnorm = jnp.exp(-(costs - min_cost[:, None]) / lam)
         norm = lax.psum(jnp.sum(unnorm, axis=1), SAMPLE_AXIS)
         weight = unnorm / norm[:, None]
-        mean_w = lax.psum(
-            jnp.einsum("bn,bnhd->bhd", weight, a_local), SAMPLE_AXIS
-        )
+        mean_spec = "bn,bhdn->bhd" if transposed else "bn,bnhd->bhd"
+        mean_w = lax.psum(jnp.einsum(mean_spec, weight, a_local), SAMPLE_AXIS)
         a_means_new = mean_w * gamma_mean + a_means * (1.0 - gamma_mean)
         # covariance centered on the UPDATED mean (reference: mppi.py:119-125)
-        dev = a_local - a_means_new[:, None]
-        cov_w = lax.psum(
-            jnp.einsum("bn,bnhi,bnhj->bhij", weight, dev, dev), SAMPLE_AXIS
-        )
+        if transposed:
+            dev = a_local - a_means_new[..., None]
+            cov_w = lax.psum(
+                jnp.einsum("bn,bhin,bhjn->bhij", weight, dev, dev), SAMPLE_AXIS
+            )
+        else:
+            dev = a_local - a_means_new[:, None]
+            cov_w = lax.psum(
+                jnp.einsum("bn,bnhi,bnhj->bhij", weight, dev, dev), SAMPLE_AXIS
+            )
         a_covs_new = cov_w * gamma_sigma + a_covs * (1.0 - gamma_sigma)
 
         actions = a_means_new[:, 0]
@@ -225,18 +240,20 @@ def make_batched_covo_solve(env, N: int, H: int, lam: float,
             lambda r: covariance.optimize_sigma_ns(r, sample_sigma, D)
         )(R)
 
+        # sample directly in the kernel's (B, D, N) layout — same draws,
+        # the MXU contracts factor @ z.T, no per-scenario transpose
         z = jax.vmap(lambda k: jax.random.normal(k, (N, D)))(act_keys)
-        a_flat = a_means.reshape(B, 1, D) + jnp.einsum(
-            "bnd,bed->bne", z, factors
+        a_t = jnp.clip(
+            a_means.reshape(B, D, 1) + jnp.einsum("bed,bnd->ben", factors, z),
+            -1.0, 1.0,
         )
-        a_sampled = jnp.clip(a_flat.reshape(B, N, H, dA), -1.0, 1.0)
 
         costs = rollout_b(
-            x0s, t0s, pos_trajs, vel_trajs, a_sampled, params_b, step_keys,
-            deterministic=True, discount=1.0,
+            x0s, t0s, pos_trajs, vel_trajs, a_t, params_b, step_keys,
+            deterministic=True, discount=1.0, layout="bhdn",
         )
         weights = jax.vmap(lambda c: reductions.mppi_weights(c, lam))(costs)
-        a_means_new = jnp.einsum("bn,bnhd->bhd", weights, a_sampled)
+        a_means_new = jnp.einsum("bn,bdn->bd", weights, a_t).reshape(B, H, dA)
         return a_means_new, jnp.min(costs, axis=1)
 
     return jax.jit(solve)
@@ -272,18 +289,19 @@ def make_batched_mppi_solve(env, N: int, H: int, lam: float,
         act_keys = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
         step_keys = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
 
-        a_sampled = jax.vmap(
-            lambda k, m, c: sampling.sample_per_step(k, m, c, N,
-                                                     mode=sampling.FAST)
+        # kernel-layout sampling (see make_batched_covo_solve)
+        a_t = jax.vmap(
+            lambda k, m, c: sampling.sample_per_step_t(k, m, c, N,
+                                                       mode=sampling.FAST)
         )(act_keys, a_means, a_covs)
-        a_sampled = jnp.clip(a_sampled, -1.0, 1.0)
+        a_t = jnp.clip(a_t, -1.0, 1.0)
 
         costs = rollout_b(
-            x0s, t0s, pos_trajs, vel_trajs, a_sampled, params_b, step_keys,
-            deterministic=False, discount=1.0,
+            x0s, t0s, pos_trajs, vel_trajs, a_t, params_b, step_keys,
+            deterministic=False, discount=1.0, layout="bhdn",
         )
         weights = jax.vmap(lambda c: reductions.mppi_weights(c, lam))(costs)
-        a_means_new = jnp.einsum("bn,bnhd->bhd", weights, a_sampled)
+        a_means_new = jnp.einsum("bn,bhdn->bhd", weights, a_t)
         return a_means_new, a_covs, jnp.min(costs, axis=1)
 
     return jax.jit(solve)
@@ -319,6 +337,8 @@ def make_multichip_covo_step(env, mesh, N: int, H: int, lam: float,
         raise ValueError(f"N={N} not divisible by {n_sample_shards}")
     n_local = N // n_sample_shards
     costs_engine = _make_batched_cost_engine(env, engine, n_local, interpret)
+    # see make_multichip_control_step: kernel-layout sampling on the fast path
+    transposed = engine == "pallas"
     # scan primal: the local scenario batch vmaps the Hessian, and the
     # Pallas primal kernel cannot vmap over SMEM operands (solvers/covo.py)
     hess = make_hessian_adjoint(env, H, primal="scan")
@@ -344,26 +364,43 @@ def make_multichip_covo_step(env, mesh, N: int, H: int, lam: float,
 
         shard = lax.axis_index(SAMPLE_AXIS)
         ids = shard * n_local + jnp.arange(n_local)
-        a_flat = jax.vmap(
-            lambda k, m, f: sampling.sample_joint(
-                k, m, f, n_local, mode=sampling.INVARIANT, sample_ids=ids
-            )
-        )(act_keys, means_flat, factors)
         B = a_means.shape[0]
-        a_local = jnp.clip(a_flat.reshape(B, n_local, H, dA), -1.0, 1.0)
+        if transposed:
+            a_local = jnp.clip(  # (B, D, n_local), kernel layout
+                jax.vmap(
+                    lambda k, m, f: sampling.sample_joint_t(
+                        k, m, f, n_local,
+                        mode=sampling.INVARIANT, sample_ids=ids,
+                    )
+                )(act_keys, means_flat, factors),
+                -1.0, 1.0,
+            )
+        else:
+            a_flat = jax.vmap(
+                lambda k, m, f: sampling.sample_joint(
+                    k, m, f, n_local, mode=sampling.INVARIANT, sample_ids=ids
+                )
+            )(act_keys, means_flat, factors)
+            a_local = jnp.clip(a_flat.reshape(B, n_local, H, dA), -1.0, 1.0)
 
         costs = costs_engine(
             x0s, states.time, states.pos_traj, states.vel_traj,
             a_local, params_b, step_keys, True, discount,
+            layout="bhdn" if transposed else "bnhd",
         )
 
         min_cost = lax.pmin(jnp.min(costs, axis=1), SAMPLE_AXIS)
         unnorm = jnp.exp(-(costs - min_cost[:, None]) / lam)
         norm = lax.psum(jnp.sum(unnorm, axis=1), SAMPLE_AXIS)
         weight = unnorm / norm[:, None]
-        mean_w = lax.psum(
-            jnp.einsum("bn,bnhd->bhd", weight, a_local), SAMPLE_AXIS
-        )
+        if transposed:
+            mean_w = lax.psum(
+                jnp.einsum("bn,bdn->bd", weight, a_local), SAMPLE_AXIS
+            ).reshape(B, H, dA)
+        else:
+            mean_w = lax.psum(
+                jnp.einsum("bn,bnhd->bhd", weight, a_local), SAMPLE_AXIS
+            )
         a_means_new = mean_w * gamma_mean + a_means * (1.0 - gamma_mean)
 
         actions = a_means_new[:, 0]

@@ -59,7 +59,8 @@ def make_cost_engine(env, engine: str, n_local: int, interpret: bool = False):
         rollout = make_rollout(env)
 
         def costs_fn(x0, t0, pos_traj, vel_traj, actions, params, step_key,
-                     deterministic, discount, vary_axes):
+                     deterministic, discount, vary_axes, layout="nhd"):
+            assert layout == "nhd", "jnp engine takes (N, H, dA) actions"
             costs, _ = rollout(
                 x0, t0, pos_traj, vel_traj, actions, params, step_key,
                 deterministic=deterministic, discount=discount,
@@ -76,7 +77,7 @@ def make_cost_engine(env, engine: str, n_local: int, interpret: bool = False):
         rollout = make_pallas_rollout(env, interpret=interpret)
 
         def costs_fn(x0, t0, pos_traj, vel_traj, actions, params, step_key,
-                     deterministic, discount, vary_axes):
+                     deterministic, discount, vary_axes, layout="nhd"):
             # shard_map tracks varying-manual-axes per value; the sampled
             # actions are varying over the mesh axes while the broadcast
             # state/tables are not — promote so the kernel sees one vma.
@@ -91,6 +92,7 @@ def make_cost_engine(env, engine: str, n_local: int, interpret: bool = False):
             costs, _ = rollout(
                 x0, t0, pos_traj, vel_traj, actions, params, step_key,
                 deterministic=deterministic, discount=discount, vma=vary,
+                layout=layout,
             )
             return costs
 
@@ -114,13 +116,21 @@ def make_sharded_mppi_solve(env, mesh, N: int, H: int, lam: float,
         raise ValueError(f"N={N} not divisible by {n_shards} shards")
     n_local = N // n_shards
     rollout = make_cost_engine(env, engine, n_local, interpret)
+    # the fused kernel consumes actions sample-axis-last; sampling directly
+    # in that layout skips the per-shard action transpose (same draws —
+    # ops/sampling.sample_per_step_t), matching the single-chip fast path
+    transposed = engine == "pallas"
 
     def local_solve(x0, t0, pos_traj, vel_traj, a_mean, a_cov,
                     gamma_mean, gamma_sigma, discount, params,
                     act_key, step_key):
         shard = lax.axis_index(axis)
         ids = shard * n_local + jnp.arange(n_local)
-        a_local = sampling.sample_per_step(
+        sampler = (
+            sampling.sample_per_step_t if transposed
+            else sampling.sample_per_step
+        )
+        a_local = sampler(
             act_key, a_mean, a_cov, n_local,
             mode=sampling.INVARIANT, sample_ids=ids,
         )
@@ -129,18 +139,24 @@ def make_sharded_mppi_solve(env, mesh, N: int, H: int, lam: float,
         costs = rollout(
             x0, t0, pos_traj, vel_traj, a_local, params, step_key,
             False, discount, (axis,),
+            layout="hdn" if transposed else "nhd",
         )
 
         min_cost = lax.pmin(jnp.min(costs), axis)
         unnorm, local_norm = reductions.weights_from_stats(costs, min_cost, lam)
         weight = unnorm / lax.psum(local_norm, axis)
 
-        mean_local = jnp.einsum("n,nhd->hd", weight, a_local)
+        mean_spec = "n,hdn->hd" if transposed else "n,nhd->hd"
+        mean_local = jnp.einsum(mean_spec, weight, a_local)
         a_mean_new = lax.psum(mean_local, axis) * gamma_mean + a_mean * (
             1.0 - gamma_mean
         )
-        dev = a_local - a_mean_new[None]
-        cov_local = jnp.einsum("n,nhi,nhj->hij", weight, dev, dev)
+        if transposed:
+            dev = a_local - a_mean_new[..., None]
+            cov_local = jnp.einsum("n,hin,hjn->hij", weight, dev, dev)
+        else:
+            dev = a_local - a_mean_new[None]
+            cov_local = jnp.einsum("n,nhi,nhj->hij", weight, dev, dev)
         a_cov_new = lax.psum(cov_local, axis) * gamma_sigma + a_cov * (
             1.0 - gamma_sigma
         )
@@ -186,27 +202,42 @@ def make_sharded_covo_sample_rollout(env, mesh, N: int, H: int, lam: float,
     n_local = N // n_shards
     rollout = make_cost_engine(env, engine, n_local, interpret)
     dA = env.action_dim
+    # see make_sharded_mppi_solve: kernel-layout sampling on the fast path
+    transposed = engine == "pallas"
 
     def local_solve(x0, t0, pos_traj, vel_traj, mean_flat, factor,
                     gamma_mean, discount, params, act_key, step_key):
         shard = lax.axis_index(axis)
         ids = shard * n_local + jnp.arange(n_local)
-        a_flat = sampling.sample_joint(
-            act_key, mean_flat, factor, n_local,
-            mode=sampling.INVARIANT, sample_ids=ids,
-        )
-        a_local = jnp.clip(a_flat.reshape(n_local, H, dA), -1.0, 1.0)
+        if transposed:
+            a_local = jnp.clip(  # (D, n_local), kernel layout
+                sampling.sample_joint_t(
+                    act_key, mean_flat, factor, n_local,
+                    mode=sampling.INVARIANT, sample_ids=ids,
+                ),
+                -1.0, 1.0,
+            )
+        else:
+            a_flat = sampling.sample_joint(
+                act_key, mean_flat, factor, n_local,
+                mode=sampling.INVARIANT, sample_ids=ids,
+            )
+            a_local = jnp.clip(a_flat.reshape(n_local, H, dA), -1.0, 1.0)
 
         costs = rollout(
             x0, t0, pos_traj, vel_traj, a_local, params, step_key,
             True, discount, (axis,),
+            layout="hdn" if transposed else "nhd",
         )
 
         min_cost = lax.pmin(jnp.min(costs), axis)
         unnorm, local_norm = reductions.weights_from_stats(costs, min_cost, lam)
         weight = unnorm / lax.psum(local_norm, axis)
 
-        mean_local = jnp.einsum("n,nhd->hd", weight, a_local)
+        if transposed:
+            mean_local = jnp.einsum("n,dn->d", weight, a_local).reshape(H, dA)
+        else:
+            mean_local = jnp.einsum("n,nhd->hd", weight, a_local)
         a_mean_new = lax.psum(mean_local, axis) * gamma_mean + mean_flat.reshape(
             H, dA
         ) * (1.0 - gamma_mean)
