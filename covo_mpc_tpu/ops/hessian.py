@@ -169,7 +169,9 @@ def make_hessian_sensitivity(env: QuadEnv, H: int):
     return hessian
 
 
-def make_hessian_adjoint(env: QuadEnv, H: int, primal: str = "scan"):
+def make_hessian_adjoint(
+    env: QuadEnv, H: int, primal: str = "scan", tail: str = "xla"
+):
     """Exact Hessian via the second-order adjoint (costate) identity.
 
     With z_h = (s_h, a_h), g_h(z) = r(f(z)) and C = Σ_h g_h(z_h), the exact
@@ -191,6 +193,11 @@ def make_hessian_adjoint(env: QuadEnv, H: int, primal: str = "scan"):
     sequential 13-dim steps of the nominal rollout cost ~0.8 ms as an XLA
     scan (one fusion launch per step on a batch of ONE) — 90+% of the whole
     Hessian; the Pallas primal runs the chain in-kernel.
+
+    ``tail``: "xla" or "pallas"/"pallas_interpret" — run steps 3/5/6 (the
+    sequential forward-sensitivity chain + quadratic pullback, H dependent
+    tiny matmuls) as one fused kernel (ops/hessian_pallas.py). The backward
+    costate and M stay in XLA either way.
     """
     if env.config.disturb_type in ("drag", "mixed"):
         raise NotImplementedError(
@@ -211,6 +218,16 @@ def make_hessian_adjoint(env: QuadEnv, H: int, primal: str = "scan"):
         pallas_primal = None
     else:
         raise ValueError(f"unknown primal mode {primal!r}")
+    if tail in ("pallas", "pallas_interpret"):
+        from covo_mpc_tpu.ops.hessian_pallas import make_tail_pullback
+
+        tail_pullback = make_tail_pullback(
+            H, dA, interpret=(tail == "pallas_interpret")
+        )
+    elif tail == "xla":
+        tail_pullback = None
+    else:
+        raise ValueError(f"unknown tail mode {tail!r}")
 
     def hessian(a_flat, x0, t0, pos_traj, vel_traj, params, key):
         a_seq = a_flat.reshape(H, dA)
@@ -249,21 +266,8 @@ def make_hessian_adjoint(env: QuadEnv, H: int, primal: str = "scan"):
         grad_g = grad_g * mask[:, None]
         hess_g = hess_g * mask[:, None, None]
 
-        # 3) forward first-order sensitivities: T_h = [S1_h; E_h]
-        def fwd(S1, inp):
-            J_h, h = inp
-            E = lax.dynamic_update_slice(
-                jnp.zeros((dA, D)), jnp.eye(dA), (0, h * dA)
-            )
-            T_h = jnp.concatenate([S1, E], axis=0)  # (17, D)
-            return J_h @ T_h, T_h
-
-        _, T = lax.scan(
-            fwd, match_vma(jnp.zeros((_SD, D)), J), (J, jnp.arange(H)),
-            unroll=True,
-        )  # (H,17,D)
-
         # 4) backward costate: mu_j = w_{j+1} + A_{j+1}^T mu_{j+1}
+        # (before step 3 — the fused tail consumes M up front)
         A_next = J[1:, :, :_SD][::-1]  # A_{j+1} for j = H-2..0
         w_next = grad_g[1:, :_SD][::-1]
 
@@ -280,8 +284,28 @@ def make_hessian_adjoint(env: QuadEnv, H: int, primal: str = "scan"):
             [mus_rev[::-1], match_vma(jnp.zeros((1, _SD)), mus_rev)], axis=0
         )
 
-        # 5) per-step quadratic forms, 6) pull back and sum
+        # 5) per-step quadratic forms
         M = hess_g + jnp.einsum("hk,hkuv->huv", mus, Hf)  # (H, 17, 17)
+
+        if tail_pullback is not None:
+            # 3/6 fused: chained T_h and the pullback in one kernel
+            return -tail_pullback(J, M)
+
+        # 3) forward first-order sensitivities: T_h = [S1_h; E_h]
+        def fwd(S1, inp):
+            J_h, h = inp
+            E = lax.dynamic_update_slice(
+                jnp.zeros((dA, D)), jnp.eye(dA), (0, h * dA)
+            )
+            T_h = jnp.concatenate([S1, E], axis=0)  # (17, D)
+            return J_h @ T_h, T_h
+
+        _, T = lax.scan(
+            fwd, match_vma(jnp.zeros((_SD, D)), J), (J, jnp.arange(H)),
+            unroll=True,
+        )  # (H,17,D)
+
+        # 6) pull back and sum
         MT = jnp.einsum("huv,hvx->hux", M, T)  # (H, 17, D)
         Hess = jnp.einsum("hux,huy->xy", T, MT)  # (D, D)
         return -Hess

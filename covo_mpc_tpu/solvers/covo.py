@@ -139,7 +139,11 @@ class CoVOSolver(BaseSolver):
                 if engine.startswith("pallas") and mode == "online"
                 else "scan"
             )
-            self._hessian = make_hessian_adjoint(env, H, primal=primal)
+            # the fused tail also replaces the default-precision XLA
+            # pullback matmuls (bf16-truncated on TPU, ~7e-3 absolute on a
+            # unit-scale Hessian) with HIGHEST-precision in-kernel dots
+            tail = primal if primal != "scan" else "xla"
+            self._hessian = make_hessian_adjoint(env, H, primal=primal, tail=tail)
         else:
             self._hessian = covariance.make_hessian(
                 make_hessian_cost(env, H, unroll=hessian_unroll), mode=hessian_mode

@@ -417,6 +417,31 @@ class TestAdjointHessian:
         rel = np.linalg.norm(np.asarray(R2 - R1)) / np.linalg.norm(np.asarray(R1))
         assert rel < 1e-5, rel
 
+    @pytest.mark.parametrize("horizon", [4, 32])
+    def test_pallas_tail_matches_scan(self, horizon):
+        """Fused forward-sensitivity chain kernel == the XLA scan tail
+        (ops/hessian_pallas.make_tail_pullback)."""
+        env = QuadEnv(
+            EnvConfig(
+                task="tracking_zigzag", enable_randomizer=False,
+                disturb_type="gaussian", disable_rollover_terminate=True,
+                generate_noisy_state=True,
+            )
+        )
+        from covo_mpc_tpu.ops.hessian import make_hessian_adjoint
+
+        _, info, _ = env.reset_env(jax.random.PRNGKey(11), env.default_params)
+        noisy = info["noisy_state"]
+        a = jax.random.normal(jax.random.PRNGKey(7), (horizon, 4)) * 0.5
+        args = (pack_state(noisy), noisy.time, noisy.pos_traj, noisy.vel_traj,
+                env.default_params, jax.random.PRNGKey(9))
+        R1 = make_hessian_adjoint(env, horizon, tail="xla")(a.flatten(), *args)
+        R2 = make_hessian_adjoint(env, horizon, tail="pallas_interpret")(
+            a.flatten(), *args
+        )
+        rel = np.linalg.norm(np.asarray(R2 - R1)) / np.linalg.norm(np.asarray(R1))
+        assert rel < 1e-6, rel
+
     def test_offline_with_pallas_engine(self):
         """Offline mode vmaps the Hessian over the schedule; the Pallas
         primal kernel does not vmap (SMEM operands), so the solver must
