@@ -232,6 +232,10 @@ def main():
     ap.add_argument("--controller", default="covo_online")
     ap.add_argument("--engine", default="pallas", choices=["pallas", "jnp"])
     ap.add_argument("--all", action="store_true", help="also bench mppi/jnp")
+    ap.add_argument("--rng", default="fast",
+                    choices=["fast", "invariant", "kernel"],
+                    help="sampler for the headline row (kernel = in-kernel "
+                         "TPU-PRNG draw, pallas engine only)")
     ap.add_argument("--scenarios", type=int, default=0,
                     help="also bench the scenario-batched CoVO solve "
                          "(aggregate solves/s/chip at B scenarios)")
@@ -255,11 +259,15 @@ def main():
     pstr = f"N{args.n}_H{args.h}_lam0.01"
     print(f"[bench] device={jax.devices()[0]}", file=sys.stderr)
 
-    def bench_one(controller, engine, sigma_mode="ns"):
+    def bench_one(controller, engine, sigma_mode="ns", rng_mode=None):
         # fast-path config: adjoint Hessian + matmul-only Newton-Schulz
-        # Σ-designer (quality pinned vs the eigh path in tests + RESULTS.md)
+        # Σ-designer (quality pinned vs the eigh path in tests + RESULTS.md);
+        # rng "kernel" = in-kernel TPU-PRNG sampling (quality-gated in
+        # RESULTS.md), only meaningful with the pallas engine
+        if rng_mode is None:
+            rng_mode = sampling.FAST
         solver, cp = get_solver(
-            env, controller, pstr, rng_mode=sampling.FAST,
+            env, controller, pstr, rng_mode=rng_mode,
             hessian_mode="adjoint", collect_debug=False,
             engine=engine, sigma_mode=sigma_mode,
         )
@@ -267,8 +275,9 @@ def main():
             solver, obs, state, params, info, cp, k=args.k
         )
         rate = 1.0 / per_solve
+        tag = f"{engine}+krng" if rng_mode == sampling.KERNEL else engine
         print(
-            f"[bench] {controller:12s} engine={engine:6s} N={args.n} H={args.h}: "
+            f"[bench] {controller:12s} engine={tag:6s} N={args.n} H={args.h}: "
             f"{per_solve*1e3:7.3f} ms/solve -> {rate:7.1f} solves/s/chip "
             f"(dispatch overhead {overhead*1e3:.1f} ms, "
             f"20ms budget: {'PASS' if per_solve < 0.02 else 'FAIL'})",
@@ -292,6 +301,7 @@ def main():
         for c in ("mppi", "covo_online"):
             for e in ("jnp", "pallas"):
                 bench_one(c, e)
+        bench_one("mppi", "pallas", rng_mode=sampling.KERNEL)
         bench_one("covo_online", "pallas", sigma_mode="eigh")
         bench_covo_offline(env, args, k=args.k)
         bench_pid(k=args.k * 4)
@@ -299,7 +309,7 @@ def main():
     if args.scenarios:
         bench_scenarios(env, args, k=args.k)
 
-    rate = bench_one(args.controller, args.engine)
+    rate = bench_one(args.controller, args.engine, rng_mode=args.rng)
     print(
         json.dumps(
             {

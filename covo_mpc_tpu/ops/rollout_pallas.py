@@ -72,6 +72,45 @@ def _atan2(y, x):
     r = jnp.where(ay > ax, pi / 2 - r, r)
     r = jnp.where(x < 0, pi - r, r)
     return jnp.where(y < 0, -r, r)
+def _uniform01(shape):
+    """In-kernel U[0,1) slab from the TPU hardware PRNG.
+
+    Mantissa trick: 23 random bits OR'd under exponent 0x3F8 bitcast to a
+    float in [1, 2), minus 1 — all integer VPU ops (mosaic has no
+    uint32 -> f32 convert).
+    """
+    bits = pltpu.prng_random_bits(shape)
+    mant = jnp.bitwise_and(bits, jnp.int32(0x007FFFFF))
+    one = jnp.bitwise_or(mant, jnp.int32(0x3F800000))
+    return pltpu.bitcast(one, jnp.float32) - 1.0
+
+
+def _normals4(shape):
+    """Four i.i.d. standard-normal slabs via two Box–Muller pairs.
+
+    log/sqrt/sin/cos all lower natively on the TPU VPU; 1-u keeps the log
+    argument in (0, 1]. Moments validated on hardware in
+    tests/test_pallas_rollout.py (kernel-sampling statistics)."""
+    two_pi = jnp.float32(6.283185307179586)
+    out = []
+    for _ in range(2):
+        r = jnp.sqrt(-2.0 * jnp.log(1.0 - _uniform01(shape)))
+        th = two_pi * _uniform01(shape)
+        out += [r * jnp.cos(th), r * jnp.sin(th)]
+    return out
+
+
+def _normals_joint(d, shape2):
+    """(d, *shape2) i.i.d. standard normals for the joint MVN draw: one
+    Box–Muller pair per element, cos half and sin half stacked along the
+    leading (tile-batch) axis — independent by construction, and the
+    concat is a free tile-sequence join (no sublane/lane relayout)."""
+    half = (d // 2,) + tuple(shape2)
+    r = jnp.sqrt(-2.0 * jnp.log(1.0 - _uniform01(half)))
+    th = jnp.float32(6.283185307179586) * _uniform01(half)
+    return jnp.concatenate([r * jnp.cos(th), r * jnp.sin(th)], axis=0)
+
+
 # scalar-pack layout (f32 SMEM); slots 10+ feed the in-kernel
 # velocity-dependent disturbance models (drag / mixed)
 (_M, _G, _DT, _ALPHA, _ASCALE, _MAX_THRUST, _MO0, _MO1, _MO2, _DISCOUNT,
@@ -208,16 +247,24 @@ def _rollout_kernel(
     ptar_ref,  # (B*H*3,) f32
     vtar_ref,  # (B*H*3,) f32
     dist_ref,  # (B*H*3,) f32; per-step f table, or sin table for "mixed"
-    # VMEM
-    act_ref,  # (H, 4, SUB, LB) f32; leading scenario dim of 1 when batched
-    cost_ref,  # (SUB, LB) f32 out; leading scenario dim of 1 when batched
-    *,
+    # VMEM (sampling mode replaces act_ref with mean/chol/gen + act out:
+    #   mean_ref (H*4,) SMEM, chol_ref (H*16,) SMEM row-major lower-tri,
+    #   gen_ref = seed (1,) i32 SMEM ["prng"] or z (H,4,SUB,LB) VMEM
+    #   ["input_z"], cost_ref out, act_ref (H,4,SUB,LB) out)
+    *refs,
     H: int,
     reward_name: str,
     check_rollover: bool,
     disturb_mode: str = "table",
     batched: bool = False,
+    sample: str = "",
 ):
+    if sample:
+        assert not batched, "sampling kernel is unbatched"
+        mean_ref, chol_ref, gen_ref, cost_ref, act_out_ref = refs
+        act_ref = None
+    else:
+        act_ref, cost_ref = refs
     if batched:
         # grid = (scenarios, lane tiles); scalar tables are scenario-strided
         b = pl.program_id(0)
@@ -226,8 +273,11 @@ def _rollout_kernel(
         shape = cost_ref.shape[1:]
     else:
         xo = so = io = to = 0
-        act = lambda h, j: act_ref[h, j]
+        act = (lambda h, j: act_ref[h, j]) if act_ref is not None else None
         shape = cost_ref.shape
+    if sample in ("prng", "prng_joint"):
+        # per-block stream: same seed + block index -> disjoint streams
+        pltpu.prng_seed(gen_ref[0], pl.program_id(0))
     m = scal_ref[so + _M]
     g = scal_ref[so + _G]
     dt = scal_ref[so + _DT]
@@ -265,6 +315,20 @@ def _rollout_kernel(
     r_prev = jnp.zeros(shape, dtype=jnp.float32)
     d_prev = jnp.zeros(shape, dtype=jnp.bool_)
     disc = jnp.float32(1.0)
+
+    if sample.endswith("_joint"):
+        # joint (H·dA)-dim MVN correlation (CoVO, solvers/covo.py:266-280):
+        # one MXU contraction a3[e] = Σ_d factor[e,d] z[d] over the full
+        # horizon replaces the per-step Cholesky chain; chol_ref holds the
+        # FULL (D, D) factor (not triangular — the Σ-designer's factor)
+        z = (
+            _normals_joint(4 * H, shape)
+            if sample == "prng_joint" else gen_ref[...]
+        )
+        a3 = jax.lax.dot_general(
+            chol_ref[...], z, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     for h in range(H):
         ptx = ptar_ref[to + 3 * h]
@@ -330,10 +394,41 @@ def _rollout_kernel(
                 fdny = (dry + dist_ref[to + 3 * h + 1] + pery) / 3.0
                 fdnz = (drz + dist_ref[to + 3 * h + 2] + perz) / 3.0
 
+        # ---- actions: fetched (plain mode) or sampled in-kernel
+        # a_h = clip(mean_h + L_h z_h) with L the per-step Cholesky —
+        # identical correlation to ops/sampling.sample_per_step_t, drawn
+        # from the TPU PRNG instead of threefry (reference semantics:
+        # mppi.py:53-65; the clip is step_env's, quadrotor.py:223)
+        if sample.endswith("_joint"):
+            mh = lambda d: mean_ref[4 * h + d]
+            a_h = tuple(
+                jnp.clip(a3[4 * h + d] + mh(d), -1.0, 1.0) for d in range(4)
+            )
+            for d in range(4):
+                act_out_ref[h, d] = a_h[d]
+        elif sample:
+            if sample == "prng":
+                z0, z1, z2, z3 = _normals4(shape)
+            else:  # "input_z": XLA-drawn normals (interpret/CPU tests)
+                z0, z1, z2, z3 = (gen_ref[h, j] for j in range(4))
+            c = lambda j: chol_ref[16 * h + j]
+            mh = lambda d: mean_ref[4 * h + d]
+            a_h = (
+                mh(0) + c(0) * z0,
+                mh(1) + c(4) * z0 + c(5) * z1,
+                mh(2) + c(8) * z0 + c(9) * z1 + c(10) * z2,
+                mh(3) + c(12) * z0 + c(13) * z1 + c(14) * z2 + c(15) * z3,
+            )
+            a_h = tuple(jnp.clip(a, -1.0, 1.0) for a in a_h)
+            for d in range(4):
+                act_out_ref[h, d] = a_h[d]
+        else:
+            a_h = (act(h, 0), act(h, 1), act(h, 2), act(h, 3))
+
         # ---- dynamics (reference: free.py:75-112)
         (px, py, pz, qx, qy, qz, qw, vx, vy, vz, wx, wy, wz) = _dyn_step(
             (px, py, pz, qx, qy, qz, qw, vx, vy, vz, wx, wy, wz),
-            (act(h, 0), act(h, 1), act(h, 2), act(h, 3)),
+            a_h,
             (fdx, fdy, fdz),
             m, g, dt, alpha, ascale, max_thrust, mo,
         )
@@ -453,6 +548,225 @@ def make_pallas_rollout(env: QuadEnv, interpret: bool = False):
         return costs2d.reshape(N_pad)[:N], None
 
     return rollout_costs
+
+
+def make_pallas_rollout_sampling(env: QuadEnv, interpret: bool = False):
+    """Fused SAMPLE + rollout engine: the per-step MVN action draw runs
+    inside the rollout kernel, so neither the (H, dA, N) standard-normal
+    tensor nor a separately-materialized action tensor ever crosses HBM on
+    the way in (solve-level A/B: the XLA sampler chain costs ~75 us of a
+    127 us MPPI solve at N=8192 — threefry bit-gen + two 4 MB round
+    trips). The sampled (clipped) actions come back as a kernel OUTPUT for
+    the weighted mean/cov updates.
+
+    On TPU the normals come from the hardware PRNG (Box–Muller, seeded
+    from the caller's key + block index); draws therefore differ from the
+    jnp samplers — this is a distinct rng mode (ops/sampling.KERNEL), not
+    a drop-in for parity/fast. Off-TPU (interpret) the kernel consumes
+    XLA-drawn normals instead ("input_z"), which pins the correlate +
+    rollout + output logic against the jnp reference path exactly
+    (tests/test_pallas_rollout.py).
+
+    Returns ``rollout_sample(x0, t0, pos_traj, vel_traj, a_mean (H, dA),
+    chol (H, dA, dA), params, step_key, act_key, N, deterministic,
+    discount, vma=()) -> (costs (N,), a_t (H*dA, N))``.
+    """
+    reward_name = env.reward_name
+    check_rollover = not env.config.disable_rollover_terminate
+    disturb_mode = (
+        env.config.disturb_type
+        if env.config.disturb_type in ("drag", "mixed") else "table"
+    )
+    gen = "input_z" if (interpret or jax.default_backend() != "tpu") else "prng"
+
+    def rollout_sample(
+        x0, t0, pos_traj, vel_traj, a_mean, chol, params, step_key, act_key,
+        N: int, deterministic: bool = False, discount=1.0, vma=(),
+    ):
+        H, dA = a_mean.shape
+        assert dA == 4, f"pallas sampling rollout needs action_dim=4, got {dA}"
+        TILE = SUB * 128
+        N_pad = -(-N // TILE) * TILE
+        lanes = N_pad // SUB
+        LB = min(512, lanes)
+        while lanes % LB:
+            LB //= 2
+
+        ptar, vtar, dist, scal, ints = _pack_kernel_inputs(
+            env, x0, t0, pos_traj, vel_traj, params, step_key,
+            deterministic, discount, H,
+        )
+        if gen == "prng":
+            # any 32 bits of the key: the kernel PRNG needs one i32 seed
+            gen_arg = jax.lax.bitcast_convert_type(
+                jax.random.key_data(act_key).reshape(-1)[-1:], jnp.int32
+            )
+            gen_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        else:
+            gen_arg = jax.random.normal(
+                act_key, (H, dA, SUB, lanes), jnp.float32
+            )
+            gen_spec = pl.BlockSpec(
+                (H, dA, SUB, LB), lambda i: (0, 0, 0, i),
+                memory_space=pltpu.VMEM,
+            )
+
+        kernel = functools.partial(
+            _rollout_kernel,
+            H=H,
+            reward_name=reward_name,
+            check_rollover=check_rollover,
+            disturb_mode=disturb_mode,
+            sample=gen,
+        )
+        kw = {"vma": frozenset(vma)} if vma else {}
+        costs2d, acts = pl.pallas_call(
+            kernel,
+            grid=(lanes // LB,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # x0
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # ints
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # ptar
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # vtar
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # dist
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # mean
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # chol
+                gen_spec,
+            ],
+            out_specs=[
+                pl.BlockSpec((SUB, LB), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, dA, SUB, LB), lambda i: (0, 0, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((SUB, lanes), jnp.float32, **kw),
+                jax.ShapeDtypeStruct((H, dA, SUB, lanes), jnp.float32, **kw),
+            ],
+            interpret=interpret,
+        )(
+            x0[:16], scal, ints, ptar, vtar, dist,
+            a_mean.reshape(-1).astype(jnp.float32),
+            chol.reshape(-1).astype(jnp.float32),
+            gen_arg,
+        )
+        # sample n sits at (sub, lane) = n // lanes, n % lanes -> C-order
+        return (
+            costs2d.reshape(N_pad)[:N],
+            acts.reshape(H * dA, N_pad)[:, :N],
+        )
+
+    return rollout_sample
+
+
+def make_pallas_rollout_joint_sampling(env: QuadEnv, interpret: bool = False):
+    """Fused JOINT sample + rollout engine for CoVO: the (H·dA)-dimensional
+    MVN draw a = clip(mean + F z) runs inside the rollout kernel — z comes
+    from the TPU hardware PRNG and the correlation F z is one MXU
+    contraction per lane tile, so neither the (D, N) standard-normal
+    tensor nor the action tensor crosses HBM on the way in (the XLA
+    sampler chain — threefry + factor matmul + two 4 MB round trips — is
+    the same ~40-75 us tax the per-step kernel already eliminated for
+    MPPI). ``factor`` is the Σ-designer's full (D, D) factor, not assumed
+    triangular (reference sampling semantics: covo.py:212-221).
+
+    Off-TPU (interpret) the kernel consumes XLA-drawn normals ("input_z"),
+    pinning correlate + clip + rollout + output against the jnp path
+    exactly (tests/test_pallas_rollout.py).
+
+    Returns ``rollout_sample(x0, t0, pos_traj, vel_traj, a_mean (H, dA),
+    factor (D, D), params, step_key, act_key, N, deterministic, discount,
+    vma=()) -> (costs (N,), a_t (D, N))``.
+    """
+    reward_name = env.reward_name
+    check_rollover = not env.config.disable_rollover_terminate
+    disturb_mode = (
+        env.config.disturb_type
+        if env.config.disturb_type in ("drag", "mixed") else "table"
+    )
+    gen = "input_z" if (interpret or jax.default_backend() != "tpu") else "prng"
+
+    def rollout_sample(
+        x0, t0, pos_traj, vel_traj, a_mean, factor, params, step_key,
+        act_key, N: int, deterministic: bool = False, discount=1.0, vma=(),
+    ):
+        H, dA = a_mean.shape
+        assert dA == 4, f"pallas sampling rollout needs action_dim=4, got {dA}"
+        D = H * dA
+        TILE = SUB * 128
+        N_pad = -(-N // TILE) * TILE
+        lanes = N_pad // SUB
+        # (D, SUB, LB) z + a3 + act-out blocks at LB=512, D=128 are 3 x 2 MB
+        # of VMEM — fits; halve LB if D ever grows past 128
+        LB = min(512, lanes)
+        while lanes % LB:
+            LB //= 2
+
+        ptar, vtar, dist, scal, ints = _pack_kernel_inputs(
+            env, x0, t0, pos_traj, vel_traj, params, step_key,
+            deterministic, discount, H,
+        )
+        if gen == "prng":
+            gen_arg = jax.lax.bitcast_convert_type(
+                jax.random.key_data(act_key).reshape(-1)[-1:], jnp.int32
+            )
+            gen_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        else:
+            gen_arg = jax.random.normal(
+                act_key, (D, SUB, lanes), jnp.float32
+            )
+            gen_spec = pl.BlockSpec(
+                (D, SUB, LB), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            )
+
+        kernel = functools.partial(
+            _rollout_kernel,
+            H=H,
+            reward_name=reward_name,
+            check_rollover=check_rollover,
+            disturb_mode=disturb_mode,
+            sample=gen + "_joint",
+        )
+        kw = {"vma": frozenset(vma)} if vma else {}
+        costs2d, acts = pl.pallas_call(
+            kernel,
+            grid=(lanes // LB,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # x0
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # ints
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # ptar
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # vtar
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # dist
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # mean
+                pl.BlockSpec((D, D), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),  # factor
+                gen_spec,
+            ],
+            out_specs=[
+                pl.BlockSpec((SUB, LB), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((H, dA, SUB, LB), lambda i: (0, 0, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((SUB, lanes), jnp.float32, **kw),
+                jax.ShapeDtypeStruct((H, dA, SUB, lanes), jnp.float32, **kw),
+            ],
+            interpret=interpret,
+        )(
+            x0[:16], scal, ints, ptar, vtar, dist,
+            a_mean.reshape(-1).astype(jnp.float32),
+            factor.astype(jnp.float32),
+            gen_arg,
+        )
+        return (
+            costs2d.reshape(N_pad)[:N],
+            acts.reshape(D, N_pad)[:, :N],
+        )
+
+    return rollout_sample
 
 
 def make_pallas_rollout_batched(env: QuadEnv, interpret: bool = False):

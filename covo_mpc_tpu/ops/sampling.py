@@ -27,6 +27,11 @@ import jax.numpy as jnp
 PARITY = "parity"
 FAST = "fast"
 INVARIANT = "invariant"
+# KERNEL: the draw happens INSIDE the fused rollout kernel (TPU hardware
+# PRNG + Box-Muller, ops/rollout_pallas.make_pallas_rollout_sampling) —
+# same MVN law, different stream from the jnp samplers. Requires the
+# pallas engine; the sampled actions come back as a kernel output.
+KERNEL = "kernel"
 
 
 def _std_normal(key, N, shape, mode, sample_ids=None):

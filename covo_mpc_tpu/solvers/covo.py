@@ -106,18 +106,31 @@ class CoVOSolver(BaseSolver):
         self.D = H * env.action_dim
 
         if engine in ("pallas", "pallas_interpret"):
-            from covo_mpc_tpu.ops.rollout_pallas import make_pallas_rollout
+            from covo_mpc_tpu.ops.rollout_pallas import (
+                make_pallas_rollout,
+                make_pallas_rollout_joint_sampling,
+            )
 
             if collect_debug:
                 raise ValueError("pallas engine requires collect_debug=False")
-            self.rollout = make_pallas_rollout(
-                env, interpret=(engine == "pallas_interpret")
-            )
+            interpret = engine == "pallas_interpret"
+            if rng_mode == sampling.KERNEL:
+                # fused joint sample+rollout: the (H·dA)-dim MVN draw runs
+                # inside the kernel (TPU PRNG + in-kernel F z contraction)
+                self.rollout_sampling = make_pallas_rollout_joint_sampling(
+                    env, interpret=interpret
+                )
+            else:
+                self.rollout_sampling = None
+            self.rollout = make_pallas_rollout(env, interpret=interpret)
             # fast samplers emit actions directly in the kernel's
             # sample-axis-last layout — no 4 MB transpose on the hot path
             self.transposed = rng_mode != sampling.PARITY
         elif engine == "jnp":
+            if rng_mode == sampling.KERNEL:
+                raise ValueError("rng_mode='kernel' requires the pallas engine")
             self.rollout = make_rollout(env)
+            self.rollout_sampling = None
             self.transposed = False
         else:
             raise ValueError(f"unknown engine {engine!r}")
@@ -270,20 +283,30 @@ class CoVOSolver(BaseSolver):
         rng_act, step_key = jax.random.split(rng_act)
 
         if self.transposed:
-            # kernel-layout fast path: same draws, actions stay (D, N)
-            a_t = jnp.clip(
-                sampling.sample_joint_t(
-                    act_key, a_mean.flatten(), factor, self.N,
-                    mode=self.rng_mode,
-                ),
-                -1.0, 1.0,
-            )
-            costs, _ = self.rollout(
-                pack_state(env_state), env_state.time, env_state.pos_traj,
-                env_state.vel_traj, a_t, env_params, step_key,
-                deterministic=True, discount=control_params.discount,
-                layout="hdn",
-            )
+            if self.rollout_sampling is not None:
+                # fused joint sample+rollout: the draw happens in-kernel and
+                # the clipped samples come back as a kernel output (D, N)
+                costs, a_t = self.rollout_sampling(
+                    pack_state(env_state), env_state.time,
+                    env_state.pos_traj, env_state.vel_traj, a_mean, factor,
+                    env_params, step_key, act_key, self.N,
+                    deterministic=True, discount=control_params.discount,
+                )
+            else:
+                # kernel-layout fast path: same draws, actions stay (D, N)
+                a_t = jnp.clip(
+                    sampling.sample_joint_t(
+                        act_key, a_mean.flatten(), factor, self.N,
+                        mode=self.rng_mode,
+                    ),
+                    -1.0, 1.0,
+                )
+                costs, _ = self.rollout(
+                    pack_state(env_state), env_state.time,
+                    env_state.pos_traj, env_state.vel_traj, a_t, env_params,
+                    step_key, deterministic=True,
+                    discount=control_params.discount, layout="hdn",
+                )
             weight = reductions.mppi_weights(costs, self.lam)
             a_mean = reductions.mean_update_t(
                 weight, a_t.reshape(self.H, self.action_dim, self.N),

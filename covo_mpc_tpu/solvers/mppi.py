@@ -58,18 +58,30 @@ class MPPISolver(BaseSolver):
         self.collect_debug = collect_debug
         self.collect_metrics = collect_metrics
         if engine in ("pallas", "pallas_interpret"):
-            from covo_mpc_tpu.ops.rollout_pallas import make_pallas_rollout
+            from covo_mpc_tpu.ops.rollout_pallas import (
+                make_pallas_rollout,
+                make_pallas_rollout_sampling,
+            )
 
             if collect_debug:
                 raise ValueError("pallas engine requires collect_debug=False")
-            self.rollout = make_pallas_rollout(
-                env, interpret=(engine == "pallas_interpret")
-            )
+            interpret = engine == "pallas_interpret"
+            if rng_mode == sampling.KERNEL:
+                # fused sample+rollout: the MVN draw runs inside the kernel
+                self.rollout_sampling = make_pallas_rollout_sampling(
+                    env, interpret=interpret
+                )
+            else:
+                self.rollout_sampling = None
+                self.rollout = make_pallas_rollout(env, interpret=interpret)
             # fast samplers emit actions directly in the kernel's
             # sample-axis-last layout — no 4 MB transpose on the hot path
             self.transposed = rng_mode != sampling.PARITY
         elif engine == "jnp":
+            if rng_mode == sampling.KERNEL:
+                raise ValueError("rng_mode='kernel' requires the pallas engine")
             self.rollout = make_rollout(env)
+            self.rollout_sampling = None
             self.transposed = False
         else:
             raise ValueError(f"unknown engine {engine!r}")
@@ -91,19 +103,32 @@ class MPPISolver(BaseSolver):
         rng_act, act_key = jax.random.split(rng_act)
         rng_act, step_key = jax.random.split(rng_act)
         if self.transposed:
-            # kernel-layout fast path: same draws, actions stay (H, dA, N)
-            a_t = jnp.clip(
-                sampling.sample_per_step_t(
-                    act_key, a_mean, a_cov, self.N, mode=self.rng_mode
-                ),
-                -1.0, 1.0,
-            )
-            costs, poses = self.rollout(
-                pack_state(env_state), env_state.time, env_state.pos_traj,
-                env_state.vel_traj, a_t, env_params, step_key,
-                deterministic=False, discount=control_params.discount,
-                layout="hdn",
-            )
+            if self.rollout_sampling is not None:
+                # fused sample+rollout: the draw happens in-kernel and the
+                # clipped samples come back as a kernel output (H*dA, N)
+                chol = jnp.linalg.cholesky(a_cov)
+                costs, a_flat = self.rollout_sampling(
+                    pack_state(env_state), env_state.time,
+                    env_state.pos_traj, env_state.vel_traj, a_mean, chol,
+                    env_params, step_key, act_key, self.N,
+                    deterministic=False, discount=control_params.discount,
+                )
+                a_t = a_flat.reshape(self.H, -1, self.N)
+            else:
+                # kernel-layout fast path: same draws as the jnp engine,
+                # actions stay (H, dA, N)
+                a_t = jnp.clip(
+                    sampling.sample_per_step_t(
+                        act_key, a_mean, a_cov, self.N, mode=self.rng_mode
+                    ),
+                    -1.0, 1.0,
+                )
+                costs, _ = self.rollout(
+                    pack_state(env_state), env_state.time,
+                    env_state.pos_traj, env_state.vel_traj, a_t, env_params,
+                    step_key, deterministic=False,
+                    discount=control_params.discount, layout="hdn",
+                )
             weight = reductions.mppi_weights(costs, self.lam)
             a_mean = reductions.mean_update_t(
                 weight, a_t, control_params.a_mean, control_params.gamma_mean

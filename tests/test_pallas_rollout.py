@@ -253,3 +253,128 @@ def test_non_power_of_two_lane_blocks(n):
         collect_poses=False,
     )
     np.testing.assert_allclose(np.asarray(cp), np.asarray(cj), atol=2e-4)
+
+
+def test_sampling_kernel_matches_plain_kernel():
+    """Fused sample+rollout (input_z mode, what interpret/CPU runs) ==
+    clip(mean + L z) computed outside + the plain kernel on those actions.
+
+    Pins the in-kernel correlate/clip/output logic exactly; the TPU "prng"
+    mode differs only in where z comes from (hardware PRNG vs this XLA
+    draw) — its statistics are checked on hardware by bench.py."""
+    from covo_mpc_tpu.ops.rollout_pallas import SUB, make_pallas_rollout_sampling
+
+    env = make_env()
+    params, state, x0, _ = _setup(env)
+    a_mean = jax.random.normal(jax.random.PRNGKey(7), (H, 4)) * 0.2
+    # random SPD per-step covariance -> lower-tri Cholesky factors
+    A = jax.random.normal(jax.random.PRNGKey(8), (H, 4, 4)) * 0.3
+    cov = jnp.einsum("hij,hkj->hik", A, A) + 0.05 * jnp.eye(4)
+    chol = jnp.linalg.cholesky(cov)
+    step_key, act_key = jax.random.PRNGKey(3), jax.random.PRNGKey(4)
+
+    sampler = make_pallas_rollout_sampling(env, interpret=True)
+    costs, a_flat = sampler(
+        x0, state.time, state.pos_traj, state.vel_traj, a_mean, chol,
+        params, step_key, act_key, N, deterministic=False, discount=0.98,
+    )
+
+    # reference: same z (the input_z draw), correlated + clipped outside
+    lanes = max(N // SUB, 1)
+    z = jax.random.normal(act_key, (H, 4, SUB, lanes)).reshape(H, 4, N)
+    a_ref = jnp.clip(
+        a_mean[:, :, None] + jnp.einsum("hij,hjn->hin", chol, z), -1.0, 1.0
+    )
+    np.testing.assert_allclose(
+        np.asarray(a_flat.reshape(H, 4, N)), np.asarray(a_ref), atol=1e-6
+    )
+    costs_ref, _ = make_pallas_rollout(env, interpret=True)(
+        x0, state.time, state.pos_traj, state.vel_traj, a_ref, params,
+        step_key, deterministic=False, discount=0.98, layout="hdn",
+    )
+    np.testing.assert_allclose(np.asarray(costs), np.asarray(costs_ref),
+                               atol=2e-4, rtol=1e-5)
+
+
+def test_solver_kernel_rng_mode():
+    """MPPISolver(engine=pallas_interpret, rng_mode='kernel') solves: the
+    fused path returns clipped actions, updates the mean, and improves the
+    tracking objective over a few control steps."""
+    from covo_mpc_tpu.ops import sampling
+    from covo_mpc_tpu.solvers import get_solver
+
+    env = make_env()
+    solver, cp = get_solver(
+        env, "mppi", "N1024_H8_lam0.01", engine="pallas_interpret",
+        rng_mode=sampling.KERNEL, collect_debug=False,
+    )
+    params = env.default_params
+    obs, info, state = env.reset_env(jax.random.PRNGKey(0), params)
+    rng = jax.random.PRNGKey(5)
+    for i in range(3):
+        rng, k = jax.random.split(rng)
+        act, cp, _ = solver(obs, state, params, k, cp, info)
+        assert float(jnp.max(jnp.abs(act))) <= 1.0
+        assert bool(jnp.all(jnp.isfinite(cp.a_mean)))
+        obs, state, _, _, info = env.step_env(k, state, act, params)[:5]
+    # the mean must have moved off the PID-free init toward the target
+    assert float(jnp.max(jnp.abs(cp.a_mean))) > 1e-3
+
+
+def test_joint_sampling_kernel_matches_plain_kernel():
+    """Fused joint sample+rollout (CoVO path, input_z mode) ==
+    clip(mean + F z) computed outside + the plain kernel on those actions.
+    F is a full (D, D) factor (not triangular), matching the Σ-designer's
+    output."""
+    from covo_mpc_tpu.ops.rollout_pallas import (
+        SUB,
+        make_pallas_rollout_joint_sampling,
+    )
+
+    env = make_env()
+    params, state, x0, _ = _setup(env)
+    D = H * 4
+    a_mean = jax.random.normal(jax.random.PRNGKey(7), (H, 4)) * 0.2
+    factor = jax.random.normal(jax.random.PRNGKey(8), (D, D)) * 0.1
+    step_key, act_key = jax.random.PRNGKey(3), jax.random.PRNGKey(4)
+
+    sampler = make_pallas_rollout_joint_sampling(env, interpret=True)
+    costs, a_t = sampler(
+        x0, state.time, state.pos_traj, state.vel_traj, a_mean, factor,
+        params, step_key, act_key, N, deterministic=True, discount=0.98,
+    )
+
+    lanes = max(N // SUB, 1)
+    z = jax.random.normal(act_key, (D, SUB, lanes)).reshape(D, N)
+    a_ref = jnp.clip(a_mean.reshape(D)[:, None] + factor @ z, -1.0, 1.0)
+    np.testing.assert_allclose(np.asarray(a_t), np.asarray(a_ref), atol=1e-5)
+    costs_ref, _ = make_pallas_rollout(env, interpret=True)(
+        x0, state.time, state.pos_traj, state.vel_traj, a_ref, params,
+        step_key, deterministic=True, discount=0.98, layout="hdn",
+    )
+    np.testing.assert_allclose(np.asarray(costs), np.asarray(costs_ref),
+                               atol=2e-4, rtol=1e-5)
+
+
+def test_covo_solver_kernel_rng_mode():
+    """CoVOSolver(engine=pallas_interpret, rng_mode='kernel') solves with
+    the fused joint-sampling path and produces finite, in-range output."""
+    from covo_mpc_tpu.ops import sampling
+    from covo_mpc_tpu.solvers import get_solver
+
+    env = make_env()
+    solver, cp = get_solver(
+        env, "covo_online", "N1024_H8_lam0.01", engine="pallas_interpret",
+        rng_mode=sampling.KERNEL, collect_debug=False,
+        hessian_mode="adjoint", sigma_mode="ns",
+    )
+    params = env.default_params
+    obs, info, state = env.reset_env(jax.random.PRNGKey(0), params)
+    rng = jax.random.PRNGKey(5)
+    for i in range(2):
+        rng, k = jax.random.split(rng)
+        act, cp, _ = solver(obs, state, params, k, cp, info)
+        assert float(jnp.max(jnp.abs(act))) <= 1.0
+        assert bool(jnp.all(jnp.isfinite(cp.a_mean)))
+        obs, state, _, _, info = env.step_env(k, state, act, params)[:5]
+    assert float(jnp.max(jnp.abs(cp.a_mean))) > 1e-3
