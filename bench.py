@@ -126,7 +126,8 @@ def bench_scenarios(env, args, k: int = 8):
         return (min(t2s) - min(t1s)) / (k2 - k)
 
     # --- CoVO-online ---
-    covo = make_batched_covo_solve(env, args.n, args.h, 0.01)
+    rng = getattr(args, "rng", "fast")
+    covo = make_batched_covo_solve(env, args.n, args.h, 0.01, rng=rng)
 
     def make_covo_run(length):
         def one(carry, _):
@@ -148,14 +149,15 @@ def bench_scenarios(env, args, k: int = 8):
     per_batch = slope(make_covo_run, a_means0)
     agg = B / per_batch
     print(
-        f"[bench] covo_online scenario-batched B={B} N={args.n} H={args.h}: "
+        f"[bench] covo_online scenario-batched B={B} rng={rng} "
+        f"N={args.n} H={args.h}: "
         f"{per_batch*1e3:7.3f} ms/batch-step -> {agg:8.1f} aggregate "
         f"solves/s/chip ({agg/B:.0f}/s/scenario)",
         file=sys.stderr,
     )
 
     # --- MPPI ---
-    mppi = make_batched_mppi_solve(env, args.n, args.h, 0.01)
+    mppi = make_batched_mppi_solve(env, args.n, args.h, 0.01, rng=rng)
 
     def make_mppi_run(length):
         def one(carry, _):
@@ -178,7 +180,8 @@ def bench_scenarios(env, args, k: int = 8):
     per_batch_m = slope(make_mppi_run, a_means0)
     agg_m = B / per_batch_m
     print(
-        f"[bench] mppi        scenario-batched B={B} N={args.n} H={args.h}: "
+        f"[bench] mppi        scenario-batched B={B} rng={rng} "
+        f"N={args.n} H={args.h}: "
         f"{per_batch_m*1e3:7.3f} ms/batch-step -> {agg_m:8.1f} aggregate "
         f"solves/s/chip ({agg_m/B:.0f}/s/scenario)",
         file=sys.stderr,

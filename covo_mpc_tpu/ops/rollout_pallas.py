@@ -248,9 +248,11 @@ def _rollout_kernel(
     vtar_ref,  # (B*H*3,) f32
     dist_ref,  # (B*H*3,) f32; per-step f table, or sin table for "mixed"
     # VMEM (sampling mode replaces act_ref with mean/chol/gen + act out:
-    #   mean_ref (H*4,) SMEM, chol_ref (H*16,) SMEM row-major lower-tri,
-    #   gen_ref = seed (1,) i32 SMEM ["prng"] or z (H,4,SUB,LB) VMEM
-    #   ["input_z"], cost_ref out, act_ref (H,4,SUB,LB) out)
+    #   mean_ref (H*4,) SMEM, chol_ref (H*16,) SMEM row-major lower-tri
+    #   per step ["prng"/"input_z"] or the full (D,D) VMEM factor
+    #   ["*_joint"], gen_ref = seed (1,) i32 SMEM [prng] or z VMEM
+    #   [input_z], cost_ref out, act_out_ref (H,4,SUB,LB) out; batched
+    #   adds the scenario stride / leading block dim of 1 throughout)
     *refs,
     H: int,
     reward_name: str,
@@ -260,7 +262,6 @@ def _rollout_kernel(
     sample: str = "",
 ):
     if sample:
-        assert not batched, "sampling kernel is unbatched"
         mean_ref, chol_ref, gen_ref, cost_ref, act_out_ref = refs
         act_ref = None
     else:
@@ -269,15 +270,24 @@ def _rollout_kernel(
         # grid = (scenarios, lane tiles); scalar tables are scenario-strided
         b = pl.program_id(0)
         xo, so, io, to = b * 16, b * NSCAL, b * NINT, b * (H * 3)
-        act = lambda h, j: act_ref[0, h, j]
+        act = (lambda h, j: act_ref[0, h, j]) if act_ref is not None else None
         shape = cost_ref.shape[1:]
     else:
         xo = so = io = to = 0
         act = (lambda h, j: act_ref[h, j]) if act_ref is not None else None
         shape = cost_ref.shape
-    if sample in ("prng", "prng_joint"):
-        # per-block stream: same seed + block index -> disjoint streams
-        pltpu.prng_seed(gen_ref[0], pl.program_id(0))
+    if sample:
+        # scenario-strided mean/chol tables; leading block dim of 1 on the
+        # VMEM refs when batched (same convention as act_ref/cost_ref)
+        m_off = b * (4 * H) if batched else 0
+        c_off = b * (16 * H) if batched else 0
+        if sample in ("prng", "prng_joint"):
+            # per-(scenario, block) stream: same seed + grid indices ->
+            # disjoint streams
+            if batched:
+                pltpu.prng_seed(gen_ref[0], b, pl.program_id(1))
+            else:
+                pltpu.prng_seed(gen_ref[0], pl.program_id(0))
     m = scal_ref[so + _M]
     g = scal_ref[so + _G]
     dt = scal_ref[so + _DT]
@@ -320,13 +330,15 @@ def _rollout_kernel(
         # joint (H·dA)-dim MVN correlation (CoVO, solvers/covo.py:266-280):
         # one MXU contraction a3[e] = Σ_d factor[e,d] z[d] over the full
         # horizon replaces the per-step Cholesky chain; chol_ref holds the
-        # FULL (D, D) factor (not triangular — the Σ-designer's factor)
-        z = (
-            _normals_joint(4 * H, shape)
-            if sample == "prng_joint" else gen_ref[...]
-        )
+        # FULL (D, D) factor (not triangular — the Σ-designer's factor),
+        # per-scenario as a (1, D, D) VMEM block when batched
+        if sample == "prng_joint":
+            z = _normals_joint(4 * H, shape)
+        else:
+            z = gen_ref[0] if batched else gen_ref[...]
+        fac = chol_ref[0] if batched else chol_ref[...]
         a3 = jax.lax.dot_general(
-            chol_ref[...], z, (((1,), (0,)), ((), ())),
+            fac, z, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -400,19 +412,24 @@ def _rollout_kernel(
         # from the TPU PRNG instead of threefry (reference semantics:
         # mppi.py:53-65; the clip is step_env's, quadrotor.py:223)
         if sample.endswith("_joint"):
-            mh = lambda d: mean_ref[4 * h + d]
+            mh = lambda d: mean_ref[m_off + 4 * h + d]
             a_h = tuple(
                 jnp.clip(a3[4 * h + d] + mh(d), -1.0, 1.0) for d in range(4)
             )
             for d in range(4):
-                act_out_ref[h, d] = a_h[d]
+                if batched:
+                    act_out_ref[0, h, d] = a_h[d]
+                else:
+                    act_out_ref[h, d] = a_h[d]
         elif sample:
             if sample == "prng":
                 z0, z1, z2, z3 = _normals4(shape)
+            elif batched:  # "input_z", scenario-batched
+                z0, z1, z2, z3 = (gen_ref[0, h, j] for j in range(4))
             else:  # "input_z": XLA-drawn normals (interpret/CPU tests)
                 z0, z1, z2, z3 = (gen_ref[h, j] for j in range(4))
-            c = lambda j: chol_ref[16 * h + j]
-            mh = lambda d: mean_ref[4 * h + d]
+            c = lambda j: chol_ref[c_off + 16 * h + j]
+            mh = lambda d: mean_ref[m_off + 4 * h + d]
             a_h = (
                 mh(0) + c(0) * z0,
                 mh(1) + c(4) * z0 + c(5) * z1,
@@ -421,7 +438,10 @@ def _rollout_kernel(
             )
             a_h = tuple(jnp.clip(a, -1.0, 1.0) for a in a_h)
             for d in range(4):
-                act_out_ref[h, d] = a_h[d]
+                if batched:
+                    act_out_ref[0, h, d] = a_h[d]
+                else:
+                    act_out_ref[h, d] = a_h[d]
         else:
             a_h = (act(h, 0), act(h, 1), act(h, 2), act(h, 3))
 
@@ -878,6 +898,137 @@ def make_pallas_rollout_batched(env: QuadEnv, interpret: bool = False):
         return costs.reshape(B, N_pad)[:, :N]
 
     return rollout_costs_b
+
+
+def make_pallas_rollout_batched_sampling(
+    env: QuadEnv, interpret: bool = False, joint: bool = False
+):
+    """Scenario-batched fused SAMPLE + rollout: the per-scenario MVN draw
+    runs inside the (B, lane-tiles) grid kernel — the scenario-batched
+    counterpart of :func:`make_pallas_rollout_sampling` (``joint=False``,
+    per-step Cholesky, MPPI) and
+    :func:`make_pallas_rollout_joint_sampling` (``joint=True``, full
+    (H·dA)² factor, CoVO). Streams are disjoint per (scenario, lane
+    block): hardware PRNG seeded with (key bits, b, block).
+
+    Returns ``rollout_sample(x0s (B,16), t0s, pos_trajs, vel_trajs,
+    a_means (B,H,dA), facs, params_b, step_keys (B,...), act_key, N,
+    deterministic, discount, vma=()) -> (costs (B,N), a_t (B, H*dA, N))``
+    where ``facs`` is (B,H,dA,dA) per-step Cholesky factors
+    (``joint=False``) or (B,D,D) full factors (``joint=True``).
+    """
+    reward_name = env.reward_name
+    check_rollover = not env.config.disable_rollover_terminate
+    disturb_mode = (
+        env.config.disturb_type
+        if env.config.disturb_type in ("drag", "mixed") else "table"
+    )
+    gen = "input_z" if (interpret or jax.default_backend() != "tpu") else "prng"
+
+    def rollout_sample(
+        x0s, t0s, pos_trajs, vel_trajs, a_means, facs, params_b, step_keys,
+        act_key, N: int, deterministic: bool = False, discount=1.0, vma=(),
+    ):
+        B, H, dA = a_means.shape
+        assert dA == 4, f"pallas sampling rollout needs action_dim=4, got {dA}"
+        D = H * dA
+        TILE = SUB * 128
+        N_pad = -(-N // TILE) * TILE
+        lanes = N_pad // SUB
+        LB = min(512, lanes)
+        while lanes % LB:
+            LB //= 2
+
+        ptar, vtar, dist, scal, ints = jax.vmap(
+            lambda x0, t0, pt, vt, p, k: _pack_kernel_inputs(
+                env, x0, t0, pt, vt, p, k, deterministic, discount, H
+            )
+        )(x0s, t0s, pos_trajs, vel_trajs, params_b, step_keys)
+
+        if gen == "prng":
+            gen_arg = jax.lax.bitcast_convert_type(
+                jax.random.key_data(act_key).reshape(-1)[-1:], jnp.int32
+            )
+            gen_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        elif joint:
+            gen_arg = jax.random.normal(
+                act_key, (B, D, SUB, lanes), jnp.float32
+            )
+            gen_spec = pl.BlockSpec(
+                (1, D, SUB, LB), lambda b, i: (b, 0, 0, i),
+                memory_space=pltpu.VMEM,
+            )
+        else:
+            gen_arg = jax.random.normal(
+                act_key, (B, H, dA, SUB, lanes), jnp.float32
+            )
+            gen_spec = pl.BlockSpec(
+                (1, H, dA, SUB, LB), lambda b, i: (b, 0, 0, 0, i),
+                memory_space=pltpu.VMEM,
+            )
+        if joint:
+            fac_arg = facs.astype(jnp.float32)  # (B, D, D)
+            fac_spec = pl.BlockSpec(
+                (1, D, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+            )
+        else:
+            fac_arg = facs.reshape(-1).astype(jnp.float32)  # (B*H*16,)
+            fac_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+        kernel = functools.partial(
+            _rollout_kernel,
+            H=H,
+            reward_name=reward_name,
+            check_rollover=check_rollover,
+            disturb_mode=disturb_mode,
+            batched=True,
+            sample=gen + ("_joint" if joint else ""),
+        )
+        kw = {"vma": frozenset(vma)} if vma else {}
+        costs, acts = pl.pallas_call(
+            kernel,
+            grid=(B, lanes // LB),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # x0s flat
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # scal flat
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # ints flat
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # ptar flat
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # vtar flat
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # dist flat
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # means flat
+                fac_spec,
+                gen_spec,
+            ],
+            out_specs=[
+                pl.BlockSpec((1, SUB, LB), lambda b, i: (b, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, H, dA, SUB, LB),
+                             lambda b, i: (b, 0, 0, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, SUB, lanes), jnp.float32, **kw),
+                jax.ShapeDtypeStruct((B, H, dA, SUB, lanes), jnp.float32,
+                                     **kw),
+            ],
+            interpret=interpret,
+        )(
+            x0s[:, :16].reshape(-1),
+            scal.reshape(-1),
+            ints.reshape(-1),
+            ptar.reshape(-1),
+            vtar.reshape(-1),
+            dist.reshape(-1),
+            a_means.reshape(-1).astype(jnp.float32),
+            fac_arg,
+            gen_arg,
+        )
+        return (
+            costs.reshape(B, N_pad)[:, :N],
+            acts.reshape(B, D, N_pad)[:, :, :N],
+        )
+
+    return rollout_sample
 
 
 def _primal_kernel(

@@ -192,7 +192,7 @@ def make_multichip_control_step(env, mesh, N: int, H: int, lam: float,
 
 def make_batched_covo_solve(env, N: int, H: int, lam: float,
                             sample_sigma: float = 0.5,
-                            interpret: bool = False):
+                            interpret: bool = False, rng: str = "fast"):
     """Scenario-batched CoVO-online solve on ONE device — the per-chip
     building block of the pod configuration (BASELINE config #5: 1024 DR
     scenarios x CoVO-online N=8192, scenarios sharded across chips).
@@ -208,11 +208,17 @@ def make_batched_covo_solve(env, N: int, H: int, lam: float,
     Returns ``solve(x0s (B,16), t0s (B,), pos_trajs (B,T,3), vel_trajs,
     a_means (B,H,dA), params_b (leaves batched on axis 0), key) ->
     (a_means_new (B,H,dA), min_costs (B,))``. RNG: per-scenario
-    ``fold_in(key, b)`` streams (scenario-count invariant), fast sampler.
+    ``fold_in(key, b)`` streams (scenario-count invariant), fast sampler;
+    ``rng="kernel"`` draws inside the rollout kernel instead (TPU hardware
+    PRNG + in-kernel F z contraction — a different stream, quality-gated
+    like the single-chip kernel mode, DESIGN.md §2).
     """
     from covo_mpc_tpu.ops import covariance
     from covo_mpc_tpu.ops.hessian import make_hessian_adjoint
-    from covo_mpc_tpu.ops.rollout_pallas import make_pallas_rollout_batched
+    from covo_mpc_tpu.ops.rollout_pallas import (
+        make_pallas_rollout_batched,
+        make_pallas_rollout_batched_sampling,
+    )
 
     dA = env.action_dim
     D = H * dA
@@ -220,6 +226,11 @@ def make_batched_covo_solve(env, N: int, H: int, lam: float,
     # primal kernel cannot vmap over SMEM operands (see solvers/covo.py)
     hess = make_hessian_adjoint(env, H, primal="scan")
     rollout_b = make_pallas_rollout_batched(env, interpret=interpret)
+    sampler_b = (
+        make_pallas_rollout_batched_sampling(env, interpret=interpret,
+                                             joint=True)
+        if rng == "kernel" else None
+    )
 
     def solve(x0s, t0s, pos_trajs, vel_trajs, a_means, params_b, key):
         B = a_means.shape[0]
@@ -240,18 +251,29 @@ def make_batched_covo_solve(env, N: int, H: int, lam: float,
             lambda r: covariance.optimize_sigma_ns(r, sample_sigma, D)
         )(R)
 
-        # sample directly in the kernel's (B, D, N) layout — same draws,
-        # the MXU contracts factor @ z.T, no per-scenario transpose
-        z = jax.vmap(lambda k: jax.random.normal(k, (N, D)))(act_keys)
-        a_t = jnp.clip(
-            a_means.reshape(B, D, 1) + jnp.einsum("bed,bnd->ben", factors, z),
-            -1.0, 1.0,
-        )
-
-        costs = rollout_b(
-            x0s, t0s, pos_trajs, vel_trajs, a_t, params_b, step_keys,
-            deterministic=True, discount=1.0, layout="bhdn",
-        )
+        if sampler_b is not None:
+            # fused sample+rollout: the per-scenario joint draw happens
+            # in-kernel; fold_in(key, B) is outside the 0..B-1 scenario
+            # stream range
+            costs, a_t = sampler_b(
+                x0s, t0s, pos_trajs, vel_trajs, a_means, factors, params_b,
+                step_keys, jax.random.fold_in(key, B), N,
+                deterministic=True, discount=1.0,
+            )
+        else:
+            # sample directly in the kernel's (B, D, N) layout — same
+            # draws, the MXU contracts factor @ z.T, no per-scenario
+            # transpose
+            z = jax.vmap(lambda k: jax.random.normal(k, (N, D)))(act_keys)
+            a_t = jnp.clip(
+                a_means.reshape(B, D, 1)
+                + jnp.einsum("bed,bnd->ben", factors, z),
+                -1.0, 1.0,
+            )
+            costs = rollout_b(
+                x0s, t0s, pos_trajs, vel_trajs, a_t, params_b, step_keys,
+                deterministic=True, discount=1.0, layout="bhdn",
+            )
         weights = jax.vmap(lambda c: reductions.mppi_weights(c, lam))(costs)
         a_means_new = jnp.einsum("bn,bdn->bd", weights, a_t).reshape(B, H, dA)
         return a_means_new, jnp.min(costs, axis=1)
@@ -260,7 +282,7 @@ def make_batched_covo_solve(env, N: int, H: int, lam: float,
 
 
 def make_batched_mppi_solve(env, N: int, H: int, lam: float,
-                            interpret: bool = False):
+                            interpret: bool = False, rng: str = "fast"):
     """Scenario-batched MPPI solve on ONE device — the MPPI counterpart of
     :func:`make_batched_covo_solve` (B domain-randomized episodes amortize
     the solve's serial latency; the fused batched rollout kernel runs a
@@ -271,13 +293,22 @@ def make_batched_mppi_solve(env, N: int, H: int, lam: float,
     a_covs_new, min_costs)``. Mean/cov updates use the single-chip
     semantics at gamma_mean=1, gamma_sigma=0 (the paper configuration,
     reference: quadrotor.py:713-720). RNG: per-scenario ``fold_in(key, b)``
-    streams, fast sampler.
+    streams, fast sampler; ``rng="kernel"`` draws in-kernel (per-step
+    Cholesky FMAs on the TPU hardware PRNG, DESIGN.md §2).
     """
-    from covo_mpc_tpu.ops.rollout_pallas import make_pallas_rollout_batched
+    from covo_mpc_tpu.ops.rollout_pallas import (
+        make_pallas_rollout_batched,
+        make_pallas_rollout_batched_sampling,
+    )
     from covo_mpc_tpu.utils.keys import fold_in_batch
 
     dA = env.action_dim
     rollout_b = make_pallas_rollout_batched(env, interpret=interpret)
+    sampler_b = (
+        make_pallas_rollout_batched_sampling(env, interpret=interpret,
+                                             joint=False)
+        if rng == "kernel" else None
+    )
 
     def solve(x0s, t0s, pos_trajs, vel_trajs, a_means, a_covs, params_b, key):
         B = a_means.shape[0]
@@ -289,17 +320,26 @@ def make_batched_mppi_solve(env, N: int, H: int, lam: float,
         act_keys = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
         step_keys = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
 
-        # kernel-layout sampling (see make_batched_covo_solve)
-        a_t = jax.vmap(
-            lambda k, m, c: sampling.sample_per_step_t(k, m, c, N,
-                                                       mode=sampling.FAST)
-        )(act_keys, a_means, a_covs)
-        a_t = jnp.clip(a_t, -1.0, 1.0)
-
-        costs = rollout_b(
-            x0s, t0s, pos_trajs, vel_trajs, a_t, params_b, step_keys,
-            deterministic=False, discount=1.0, layout="bhdn",
-        )
+        if sampler_b is not None:
+            # fused sample+rollout: per-scenario per-step draws in-kernel
+            chols = jnp.linalg.cholesky(a_covs)
+            costs, a_flat = sampler_b(
+                x0s, t0s, pos_trajs, vel_trajs, a_means, chols, params_b,
+                step_keys, jax.random.fold_in(key, B), N,
+                deterministic=False, discount=1.0,
+            )
+            a_t = a_flat.reshape(B, a_means.shape[1], dA, N)
+        else:
+            # kernel-layout sampling (see make_batched_covo_solve)
+            a_t = jax.vmap(
+                lambda k, m, c: sampling.sample_per_step_t(
+                    k, m, c, N, mode=sampling.FAST)
+            )(act_keys, a_means, a_covs)
+            a_t = jnp.clip(a_t, -1.0, 1.0)
+            costs = rollout_b(
+                x0s, t0s, pos_trajs, vel_trajs, a_t, params_b, step_keys,
+                deterministic=False, discount=1.0, layout="bhdn",
+            )
         weights = jax.vmap(lambda c: reductions.mppi_weights(c, lam))(costs)
         a_means_new = jnp.einsum("bn,bhdn->bhd", weights, a_t)
         return a_means_new, a_covs, jnp.min(costs, axis=1)

@@ -26,7 +26,7 @@ class RunConfig:
     name: str = ""
 
     # TPU-native knobs
-    rng_mode: str = "fast"  # parity | fast | invariant
+    rng_mode: str = "fast"  # parity | fast | invariant | kernel (in-kernel TPU-PRNG draw, pallas engine only)
     hessian_mode: str = "fwd_rev"  # fwd_fwd (reference) | fwd_rev | sensitivity | adjoint
     engine: str = "auto"  # auto | jnp | pallas (fused rollout kernel; TPU only)
     sigma_mode: str = "auto"  # auto | eigh | ns | ns_pallas (NS = matmul-only designer)

@@ -378,3 +378,100 @@ def test_covo_solver_kernel_rng_mode():
         assert bool(jnp.all(jnp.isfinite(cp.a_mean)))
         obs, state, _, _, info = env.step_env(k, state, act, params)[:5]
     assert float(jnp.max(jnp.abs(cp.a_mean))) > 1e-3
+
+
+@pytest.mark.parametrize("joint", [False, True])
+def test_batched_sampling_kernel_matches_plain(joint):
+    """Scenario-batched fused sample+rollout (input_z) == correlate+clip
+    outside + the plain batched kernel, for both the per-step (MPPI) and
+    joint (CoVO) correlation forms."""
+    from covo_mpc_tpu.ops.rollout_pallas import (
+        SUB,
+        make_pallas_rollout_batched,
+        make_pallas_rollout_batched_sampling,
+    )
+
+    env = make_env()
+    B, D = 3, H * 4
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    params_b = jax.vmap(env.sample_params)(keys)
+    params_b = params_b.replace(m=jnp.array([0.027, 0.031, 0.024]))
+    resets = jax.vmap(lambda k, p: env.reset_env(k, p)[2])(keys, params_b)
+    x0s = jax.vmap(pack_state)(resets)
+    a_means = jax.random.normal(jax.random.PRNGKey(7), (B, H, 4)) * 0.2
+    if joint:
+        facs = jax.random.normal(jax.random.PRNGKey(8), (B, D, D)) * 0.1
+    else:
+        A = jax.random.normal(jax.random.PRNGKey(8), (B, H, 4, 4)) * 0.3
+        cov = jnp.einsum("bhij,bhkj->bhik", A, A) + 0.05 * jnp.eye(4)
+        facs = jnp.linalg.cholesky(cov)
+    act_key = jax.random.PRNGKey(4)
+
+    sampler = make_pallas_rollout_batched_sampling(
+        env, interpret=True, joint=joint
+    )
+    costs, a_t = sampler(
+        x0s, resets.time, resets.pos_traj, resets.vel_traj, a_means, facs,
+        params_b, keys, act_key, N, deterministic=True, discount=0.98,
+    )
+
+    lanes = max(N // SUB, 1)
+    if joint:
+        z = jax.random.normal(act_key, (B, D, SUB, lanes)).reshape(B, D, N)
+        a_ref = jnp.clip(
+            a_means.reshape(B, D)[:, :, None]
+            + jnp.einsum("bed,bdn->ben", facs, z),
+            -1.0, 1.0,
+        )
+    else:
+        z = jax.random.normal(act_key, (B, H, 4, SUB, lanes)).reshape(
+            B, H, 4, N
+        )
+        a_ref = jnp.clip(
+            a_means[..., None] + jnp.einsum("bhij,bhjn->bhin", facs, z),
+            -1.0, 1.0,
+        ).reshape(B, D, N)
+    np.testing.assert_allclose(np.asarray(a_t), np.asarray(a_ref), atol=1e-5)
+
+    costs_ref = make_pallas_rollout_batched(env, interpret=True)(
+        x0s, resets.time, resets.pos_traj, resets.vel_traj, a_ref, params_b,
+        keys, deterministic=True, discount=0.98, layout="bhdn",
+    )
+    np.testing.assert_allclose(np.asarray(costs), np.asarray(costs_ref),
+                               atol=2e-4, rtol=1e-5)
+
+
+@pytest.mark.parametrize("maker_rng", ["covo", "mppi"])
+def test_batched_solve_kernel_rng(maker_rng):
+    """make_batched_{covo,mppi}_solve(rng='kernel') runs end-to-end in
+    interpret mode and returns finite, in-range results."""
+    from covo_mpc_tpu.parallel.scenarios import (
+        make_batched_covo_solve,
+        make_batched_mppi_solve,
+    )
+
+    env = make_env(task="tracking_zigzag")
+    B = 2
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    params_b = jax.vmap(env.sample_params)(keys)
+    resets = jax.vmap(lambda k, p: env.reset_env(k, p)[2])(keys, params_b)
+    x0s = jax.vmap(pack_state)(resets)
+    a_means = jnp.zeros((B, H, 4))
+    if maker_rng == "covo":
+        solve = make_batched_covo_solve(env, N, H, 0.01, interpret=True,
+                                        rng="kernel")
+        a_new, min_costs = solve(
+            x0s, resets.time, resets.pos_traj, resets.vel_traj, a_means,
+            params_b, jax.random.PRNGKey(5),
+        )
+    else:
+        solve = make_batched_mppi_solve(env, N, H, 0.01, interpret=True,
+                                        rng="kernel")
+        a_covs = jnp.tile(jnp.eye(4) * 0.25, (B, H, 1, 1))
+        a_new, _, min_costs = solve(
+            x0s, resets.time, resets.pos_traj, resets.vel_traj, a_means,
+            a_covs, params_b, jax.random.PRNGKey(5),
+        )
+    assert a_new.shape == (B, H, 4)
+    assert bool(jnp.all(jnp.isfinite(a_new)))
+    assert bool(jnp.all(jnp.isfinite(min_costs)))
