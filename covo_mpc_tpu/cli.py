@@ -26,9 +26,15 @@ def build_parser() -> argparse.ArgumentParser:
     for field in dataclasses.fields(RunConfig):
         flag = "--" + field.name.replace("_", "-")
         if field.type == "bool" or isinstance(field.default, bool):
-            p.add_argument(flag, action="store_true", default=field.default)
+            # BooleanOptionalAction gives a --no-<flag> negator, so a
+            # default-True bool stays clearable from the command line
+            p.add_argument(flag, action=argparse.BooleanOptionalAction,
+                           default=field.default)
         else:
-            p.add_argument(flag, type=type(field.default), default=field.default)
+            # type(None) would reject every value; None-default fields
+            # parse as strings (RunConfig has none today — future-proofing)
+            typ = str if field.default is None else type(field.default)
+            p.add_argument(flag, type=typ, default=field.default)
     return p
 
 

@@ -91,7 +91,8 @@ def _make_batched_cost_engine(env, engine: str, n_local: int,
 
 def make_multichip_control_step(env, mesh, N: int, H: int, lam: float,
                                 engine: str = "jnp",
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                rng: str = "invariant"):
     """Build the jitted distributed MPPI control step.
 
     Returns ``step(states, params, a_means, a_covs, keys, gamma_mean,
@@ -103,11 +104,25 @@ def make_multichip_control_step(env, mesh, N: int, H: int, lam: float,
     (reference: mppi.py:114-126) — in particular the weighted covariance
     update the reference applies at γ_σ>0 is preserved, not dropped.
     ``engine="pallas"`` runs the fused batched rollout kernel per shard.
+    ``rng="kernel"`` (pallas only) draws inside that kernel on TPU-PRNG
+    streams disjoint per (scenario shard, sample shard, scenario, lane
+    block) — fastest, but forfeits mesh-shape invariance (DESIGN.md §2).
     """
     n_sample_shards = mesh.shape[SAMPLE_AXIS]
     if N % n_sample_shards:
         raise ValueError(f"N={N} not divisible by {n_sample_shards}")
     n_local = N // n_sample_shards
+    if rng == "kernel":
+        if engine != "pallas":
+            raise ValueError("rng='kernel' requires engine='pallas'")
+        from covo_mpc_tpu.ops.rollout_pallas import (
+            make_pallas_rollout_batched_sampling,
+        )
+
+        fused = make_pallas_rollout_batched_sampling(env, interpret=interpret,
+                                                     joint=False)
+    else:
+        fused = None
     costs_engine = _make_batched_cost_engine(env, engine, n_local, interpret)
     # fast path samples in the kernel's sample-axis-last layout (same
     # draws — ops/sampling.sample_per_step_t), skipping per-shard transposes
@@ -123,23 +138,44 @@ def make_multichip_control_step(env, mesh, N: int, H: int, lam: float,
 
         shard = lax.axis_index(SAMPLE_AXIS)
         ids = shard * n_local + jnp.arange(n_local)
-        sampler = (
-            sampling.sample_per_step_t if transposed
-            else sampling.sample_per_step
-        )
-        a_local = jax.vmap(
-            lambda k, m, c: sampler(
-                k, m, c, n_local, mode=sampling.INVARIANT, sample_ids=ids
-            )
-        )(act_keys, a_means, a_covs)
-        a_local = jnp.clip(a_local, -1.0, 1.0)
-
         x0s = jax.vmap(pack_state)(states)
-        costs = costs_engine(
-            x0s, states.time, states.pos_traj, states.vel_traj,
-            a_local, params_b, step_keys, False, discount,
-            layout="bhdn" if transposed else "bnhd",
-        )
+        if fused is not None:
+            # fused sample+rollout: act_keys[0] is scenario-shard-specific,
+            # the sample-shard fold + in-kernel (scenario, block) grid
+            # indices make every stream disjoint
+            kb = jax.random.fold_in(act_keys[0], shard)
+            vary = tuple(getattr(jax.typeof(kb), "vma", frozenset()))
+            x0s_v, t_v, pt_v, vt_v, m_v, c_v, p_v, sk_v, disc_v = (
+                jax.tree.map(
+                    lambda x: pvary(x, vary),
+                    (x0s, states.time, states.pos_traj, states.vel_traj,
+                     a_means, jnp.linalg.cholesky(a_covs), params_b,
+                     step_keys, discount),
+                )
+            )
+            costs, a_flat = fused(
+                x0s_v, t_v, pt_v, vt_v, m_v, c_v, p_v, sk_v, kb, n_local,
+                deterministic=False, discount=disc_v, vma=vary,
+            )
+            B_, H_, dA_ = a_means.shape
+            a_local = a_flat.reshape(B_, H_, dA_, n_local)
+        else:
+            sampler = (
+                sampling.sample_per_step_t if transposed
+                else sampling.sample_per_step
+            )
+            a_local = jax.vmap(
+                lambda k, m, c: sampler(
+                    k, m, c, n_local, mode=sampling.INVARIANT, sample_ids=ids
+                )
+            )(act_keys, a_means, a_covs)
+            a_local = jnp.clip(a_local, -1.0, 1.0)
+
+            costs = costs_engine(
+                x0s, states.time, states.pos_traj, states.vel_traj,
+                a_local, params_b, step_keys, False, discount,
+                layout="bhdn" if transposed else "bnhd",
+            )
 
         min_cost = lax.pmin(jnp.min(costs, axis=1), SAMPLE_AXIS)
         unnorm = jnp.exp(-(costs - min_cost[:, None]) / lam)
@@ -350,7 +386,8 @@ def make_batched_mppi_solve(env, N: int, H: int, lam: float,
 def make_multichip_covo_step(env, mesh, N: int, H: int, lam: float,
                              sample_sigma: float = 0.5,
                              engine: str = "jnp",
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             rng: str = "invariant"):
     """Distributed CoVO-online control step — BASELINE config #5 proper:
     scenario axis = pure data parallelism (DR episodes), sample axis =
     sharded rollouts with pmin/psum reductions.
@@ -363,7 +400,9 @@ def make_multichip_covo_step(env, mesh, N: int, H: int, lam: float,
     batched rollout kernel per shard (the flagship per-chip rate);
     CoVO updates the mean only — Σ is re-designed from the Hessian every
     step, never from samples (reference: covo.py:269-275), so there is no
-    covariance-update path to thread here.
+    covariance-update path to thread here. ``rng="kernel"`` (pallas only)
+    draws the joint MVN inside the per-shard kernel on disjoint TPU-PRNG
+    streams — fastest, forfeits mesh-shape invariance (DESIGN.md §2).
 
     Returns ``step(states, params, a_means, keys, gamma_mean=1.0,
     discount=1.0) -> (states', a_means', rewards, dones)``, everything
@@ -376,6 +415,17 @@ def make_multichip_covo_step(env, mesh, N: int, H: int, lam: float,
     if N % n_sample_shards:
         raise ValueError(f"N={N} not divisible by {n_sample_shards}")
     n_local = N // n_sample_shards
+    if rng == "kernel":
+        if engine != "pallas":
+            raise ValueError("rng='kernel' requires engine='pallas'")
+        from covo_mpc_tpu.ops.rollout_pallas import (
+            make_pallas_rollout_batched_sampling,
+        )
+
+        fused = make_pallas_rollout_batched_sampling(env, interpret=interpret,
+                                                     joint=True)
+    else:
+        fused = None
     costs_engine = _make_batched_cost_engine(env, engine, n_local, interpret)
     # see make_multichip_control_step: kernel-layout sampling on the fast path
     transposed = engine == "pallas"
@@ -405,7 +455,23 @@ def make_multichip_covo_step(env, mesh, N: int, H: int, lam: float,
         shard = lax.axis_index(SAMPLE_AXIS)
         ids = shard * n_local + jnp.arange(n_local)
         B = a_means.shape[0]
-        if transposed:
+        if fused is not None:
+            # fused joint sample+rollout per shard (see
+            # make_multichip_control_step for the stream layout)
+            kb = jax.random.fold_in(act_keys[0], shard)
+            vary = tuple(getattr(jax.typeof(kb), "vma", frozenset()))
+            x0s_v, t_v, pt_v, vt_v, m_v, f_v, p_v, sk_v, disc_v = (
+                jax.tree.map(
+                    lambda x: pvary(x, vary),
+                    (x0s, states.time, states.pos_traj, states.vel_traj,
+                     a_means, factors, params_b, step_keys, discount),
+                )
+            )
+            costs, a_local = fused(  # a_local: (B, D, n_local)
+                x0s_v, t_v, pt_v, vt_v, m_v, f_v, p_v, sk_v, kb, n_local,
+                deterministic=True, discount=disc_v, vma=vary,
+            )
+        elif transposed:
             a_local = jnp.clip(  # (B, D, n_local), kernel layout
                 jax.vmap(
                     lambda k, m, f: sampling.sample_joint_t(
@@ -423,11 +489,12 @@ def make_multichip_covo_step(env, mesh, N: int, H: int, lam: float,
             )(act_keys, means_flat, factors)
             a_local = jnp.clip(a_flat.reshape(B, n_local, H, dA), -1.0, 1.0)
 
-        costs = costs_engine(
-            x0s, states.time, states.pos_traj, states.vel_traj,
-            a_local, params_b, step_keys, True, discount,
-            layout="bhdn" if transposed else "bnhd",
-        )
+        if fused is None:
+            costs = costs_engine(
+                x0s, states.time, states.pos_traj, states.vel_traj,
+                a_local, params_b, step_keys, True, discount,
+                layout="bhdn" if transposed else "bnhd",
+            )
 
         min_cost = lax.pmin(jnp.min(costs, axis=1), SAMPLE_AXIS)
         unnorm = jnp.exp(-(costs - min_cost[:, None]) / lam)

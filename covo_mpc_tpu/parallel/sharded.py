@@ -103,18 +103,31 @@ def make_cost_engine(env, engine: str, n_local: int, interpret: bool = False):
 
 def make_sharded_mppi_solve(env, mesh, N: int, H: int, lam: float,
                             axis: str = SAMPLE_AXIS, engine: str = "jnp",
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            rng: str = "invariant"):
     """Sharded MPPI sample→rollout→reduce→update core.
 
     Returns ``solve(x0, t0, pos_traj, vel_traj, a_mean, a_cov, gammas,
     discount, params, act_key, step_key) -> (a_mean_new, a_cov_new,
     min_cost)`` with every argument and result replicated across ``axis``.
-    ``engine="pallas"`` runs the fused rollout kernel per shard.
+    ``engine="pallas"`` runs the fused rollout kernel per shard. ``rng``:
+    see :func:`make_sharded_covo_sample_rollout` ("kernel" draws in-kernel
+    per shard; trades resharding invariance for throughput).
     """
     n_shards = mesh.shape[axis]
     if N % n_shards:
         raise ValueError(f"N={N} not divisible by {n_shards} shards")
     n_local = N // n_shards
+    if rng == "kernel":
+        if engine != "pallas":
+            raise ValueError("rng='kernel' requires engine='pallas'")
+        from covo_mpc_tpu.ops.rollout_pallas import (
+            make_pallas_rollout_sampling,
+        )
+
+        fused = make_pallas_rollout_sampling(env, interpret=interpret)
+    else:
+        fused = None
     rollout = make_cost_engine(env, engine, n_local, interpret)
     # the fused kernel consumes actions sample-axis-last; sampling directly
     # in that layout skips the per-shard action transpose (same draws —
@@ -126,21 +139,39 @@ def make_sharded_mppi_solve(env, mesh, N: int, H: int, lam: float,
                     act_key, step_key):
         shard = lax.axis_index(axis)
         ids = shard * n_local + jnp.arange(n_local)
-        sampler = (
-            sampling.sample_per_step_t if transposed
-            else sampling.sample_per_step
-        )
-        a_local = sampler(
-            act_key, a_mean, a_cov, n_local,
-            mode=sampling.INVARIANT, sample_ids=ids,
-        )
-        a_local = jnp.clip(a_local, -1.0, 1.0)
+        if fused is not None:
+            # fused sample+rollout per shard (see the covo core above)
+            shard_key = jax.random.fold_in(act_key, shard)
+            vary = tuple(getattr(jax.typeof(shard_key), "vma", frozenset()))
+            x0_v, t0_v, pt_v, vt_v, mean_v, chol_v, params_v, sk_v = (
+                jax.tree.map(
+                    lambda x: pvary(x, vary),
+                    (x0, t0, pos_traj, vel_traj, a_mean,
+                     jnp.linalg.cholesky(a_cov), params, step_key),
+                )
+            )
+            costs, a_flat = fused(
+                x0_v, t0_v, pt_v, vt_v, mean_v, chol_v, params_v, sk_v,
+                shard_key, n_local, deterministic=False,
+                discount=pvary(discount, vary), vma=vary,
+            )
+            a_local = a_flat.reshape(a_mean.shape[0], -1, n_local)
+        else:
+            sampler = (
+                sampling.sample_per_step_t if transposed
+                else sampling.sample_per_step
+            )
+            a_local = sampler(
+                act_key, a_mean, a_cov, n_local,
+                mode=sampling.INVARIANT, sample_ids=ids,
+            )
+            a_local = jnp.clip(a_local, -1.0, 1.0)
 
-        costs = rollout(
-            x0, t0, pos_traj, vel_traj, a_local, params, step_key,
-            False, discount, (axis,),
-            layout="hdn" if transposed else "nhd",
-        )
+            costs = rollout(
+                x0, t0, pos_traj, vel_traj, a_local, params, step_key,
+                False, discount, (axis,),
+                layout="hdn" if transposed else "nhd",
+            )
 
         min_cost = lax.pmin(jnp.min(costs), axis)
         unnorm, local_norm = reductions.weights_from_stats(costs, min_cost, lam)
@@ -184,13 +215,21 @@ def make_sharded_mppi_solve(env, mesh, N: int, H: int, lam: float,
 def make_sharded_covo_sample_rollout(env, mesh, N: int, H: int, lam: float,
                                      axis: str = SAMPLE_AXIS,
                                      engine: str = "jnp",
-                                     interpret: bool = False):
+                                     interpret: bool = False,
+                                     rng: str = "invariant"):
     """Sharded CoVO sample→rollout→reduce core.
 
     Σ design (Hessian + eigh) is O(D²) and independent of N, so it runs
     replicated OUTSIDE this core; only the N-dependent work is sharded.
     ``factor`` is any square root of Σ. ``engine="pallas"`` runs the fused
     rollout kernel per shard (the flagship per-chip path).
+
+    ``rng``: "invariant" (default) draws with global-sample-id keys —
+    bit-identical results at ANY mesh shape; "kernel" (pallas only) draws
+    inside the per-shard rollout kernel on shard-folded TPU-PRNG streams
+    (DESIGN.md §2) — fastest, but resharding changes the draws, so it
+    trades the invariance guarantee for the single-chip kernel path's
+    throughput.
 
     Returns ``solve(x0, t0, pos_traj, vel_traj, mean_flat, factor,
     gamma_mean, discount, params, act_key, step_key) -> (a_mean_new (H, dA),
@@ -200,6 +239,16 @@ def make_sharded_covo_sample_rollout(env, mesh, N: int, H: int, lam: float,
     if N % n_shards:
         raise ValueError(f"N={N} not divisible by {n_shards} shards")
     n_local = N // n_shards
+    if rng == "kernel":
+        if engine != "pallas":
+            raise ValueError("rng='kernel' requires engine='pallas'")
+        from covo_mpc_tpu.ops.rollout_pallas import (
+            make_pallas_rollout_joint_sampling,
+        )
+
+        fused = make_pallas_rollout_joint_sampling(env, interpret=interpret)
+    else:
+        fused = None
     rollout = make_cost_engine(env, engine, n_local, interpret)
     dA = env.action_dim
     # see make_sharded_mppi_solve: kernel-layout sampling on the fast path
@@ -209,7 +258,25 @@ def make_sharded_covo_sample_rollout(env, mesh, N: int, H: int, lam: float,
                     gamma_mean, discount, params, act_key, step_key):
         shard = lax.axis_index(axis)
         ids = shard * n_local + jnp.arange(n_local)
-        if transposed:
+        if fused is not None:
+            # fused sample+rollout per shard: disjoint streams via the
+            # shard-folded key; promote the replicated inputs to the
+            # shard-varying vma the outputs carry (see make_cost_engine)
+            shard_key = jax.random.fold_in(act_key, shard)
+            vary = tuple(getattr(jax.typeof(shard_key), "vma", frozenset()))
+            x0_v, t0_v, pt_v, vt_v, mean_v, fac_v, params_v, sk_v = (
+                jax.tree.map(
+                    lambda x: pvary(x, vary),
+                    (x0, t0, pos_traj, vel_traj, mean_flat, factor, params,
+                     step_key),
+                )
+            )
+            costs, a_local = fused(
+                x0_v, t0_v, pt_v, vt_v, mean_v.reshape(H, dA), fac_v,
+                params_v, sk_v, shard_key, n_local,
+                deterministic=True, discount=pvary(discount, vary), vma=vary,
+            )
+        elif transposed:
             a_local = jnp.clip(  # (D, n_local), kernel layout
                 sampling.sample_joint_t(
                     act_key, mean_flat, factor, n_local,
@@ -224,11 +291,12 @@ def make_sharded_covo_sample_rollout(env, mesh, N: int, H: int, lam: float,
             )
             a_local = jnp.clip(a_flat.reshape(n_local, H, dA), -1.0, 1.0)
 
-        costs = rollout(
-            x0, t0, pos_traj, vel_traj, a_local, params, step_key,
-            True, discount, (axis,),
-            layout="hdn" if transposed else "nhd",
-        )
+        if fused is None:
+            costs = rollout(
+                x0, t0, pos_traj, vel_traj, a_local, params, step_key,
+                True, discount, (axis,),
+                layout="hdn" if transposed else "nhd",
+            )
 
         min_cost = lax.pmin(jnp.min(costs), axis)
         unnorm, local_norm = reductions.weights_from_stats(costs, min_cost, lam)
@@ -264,7 +332,8 @@ def make_distributed_covo_solve(env, mesh, N: int, H: int, lam: float,
                                 axis: str = SAMPLE_AXIS,
                                 engine: str = "jnp",
                                 interpret: bool = False,
-                                hessian_primal: str | None = None):
+                                hessian_primal: str | None = None,
+                                rng: str = "invariant"):
     """Full distributed CoVO-online solve: replicated Σ design + sharded
     sample/rollout/reduce — the flagship configuration spread over a mesh.
 
@@ -277,6 +346,9 @@ def make_distributed_covo_solve(env, mesh, N: int, H: int, lam: float,
     sampler uses global sample ids — so on a 1-shard mesh this returns
     EXACTLY the single-chip solver's update (pinned in
     tests/test_sharding.py), and results are identical at any shard count.
+    ``rng="kernel"`` (pallas only) instead draws inside the per-shard
+    kernel — fastest, but forfeits both guarantees (see
+    :func:`make_sharded_covo_sample_rollout`).
 
     Returns ``solve(x0, t0, pos_traj, vel_traj, a_mean (H, dA), params,
     rng, gamma_mean=1.0, discount=1.0) -> (a_mean_new (H, dA),
@@ -286,7 +358,8 @@ def make_distributed_covo_solve(env, mesh, N: int, H: int, lam: float,
     from covo_mpc_tpu.ops.hessian import make_hessian_adjoint
 
     core = make_sharded_covo_sample_rollout(
-        env, mesh, N, H, lam, axis=axis, engine=engine, interpret=interpret
+        env, mesh, N, H, lam, axis=axis, engine=engine, interpret=interpret,
+        rng=rng,
     )
     # in-kernel primal pairs with the fused rollout engine (solvers/covo.py)
     primal = hessian_primal or (

@@ -61,6 +61,12 @@ def parse_args():
                     choices=["auto", "pallas", "jnp"],
                     help="rollout engine; auto = pallas on TPU (interpret "
                          "elsewhere) when per-shard N is tile-aligned")
+    ap.add_argument("--rng", default="invariant",
+                    choices=["invariant", "kernel"],
+                    help="sampler: invariant = mesh-shape-invariant "
+                         "global-id draws; kernel = in-kernel TPU-PRNG "
+                         "draw per shard (pallas engine only — fastest, "
+                         "not resharding-invariant)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (plumbing smoke test; pair "
                          "with XLA_FLAGS=--xla_force_host_platform_device_"
@@ -118,10 +124,11 @@ def bench_sample_sharding(env, args, shard_counts):
     rows = []
     for s in shard_counts:
         engine, interpret = resolve_engine(args.engine, args.n // s)
+        rng_mode = args.rng if engine == "pallas" else "invariant"
         mesh = make_mesh(samples=s, scenarios=1, devices=jax.devices()[:s])
         solve = make_distributed_covo_solve(
             env, mesh, N=args.n, H=args.h, lam=args.lam,
-            engine=engine, interpret=interpret,
+            engine=engine, interpret=interpret, rng=rng_mode,
         )
 
         def make_run(length):
@@ -147,6 +154,7 @@ def bench_sample_sharding(env, args, shard_counts):
         rows.append({
             "axis": "samples",
             "shards": s,
+            "rng": rng_mode,
             "engine": engine + ("/interpret" if interpret else ""),
             "ms_per_solve": per_solve * 1e3,
             "solves_per_s": 1.0 / per_solve,
@@ -179,11 +187,12 @@ def bench_scenario_dp(env, args, n_chips, B):
     for chips in sorted({1, n_chips}):
         b = max(B * chips // n_chips, 1) if chips < n_chips else B
         engine, interpret = resolve_engine(args.engine, args.n)
+        rng_mode = args.rng if engine == "pallas" else "invariant"
         mesh = make_mesh(samples=1, scenarios=chips,
                          devices=jax.devices()[:chips])
         step = make_multichip_covo_step(
             env, mesh, N=args.n, H=args.h, lam=args.lam,
-            engine=engine, interpret=interpret,
+            engine=engine, interpret=interpret, rng=rng_mode,
         )
         keys = jax.random.split(jax.random.PRNGKey(1), b)
         scen_params = jax.vmap(env.sample_params)(keys)
@@ -217,6 +226,7 @@ def bench_scenario_dp(env, args, n_chips, B):
             "axis": "scenarios",
             "chips": chips,
             "scenario_batch": b,
+            "rng": rng_mode,
             "engine": engine + ("/interpret" if interpret else ""),
             "ms_per_step": per_step * 1e3,
             "aggregate_solves_per_s": agg,

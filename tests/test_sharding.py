@@ -507,3 +507,154 @@ def test_pallas_engine_handles_ragged_shards(setup):
         outs[engine] = (np.asarray(a_mean_new), float(min_cost))
     np.testing.assert_allclose(outs["pallas"][0], outs["jnp"][0], atol=1e-4)
     assert outs["pallas"][1] == pytest.approx(outs["jnp"][1], abs=1e-3)
+
+
+# --- in-kernel sampling per shard (rng="kernel", interpret mode) ---------
+
+
+@pytest.mark.slow
+def test_sharded_mppi_kernel_rng_matches_direct(setup):
+    """1-shard sharded MPPI with rng='kernel' == the fused sampling kernel
+    called directly with the shard-folded key + a hand-rolled weighted
+    mean update — pins the shard_map wiring of the in-kernel draw."""
+    from covo_mpc_tpu.ops.rollout_pallas import make_pallas_rollout_sampling
+    from covo_mpc_tpu.parallel.sharded import make_sharded_mppi_solve
+
+    env, params, state = setup
+    Nk = 1024
+    a_mean = hover_sequence(env, HP_)
+    a_cov = jnp.tile(jnp.eye(4) * 0.25, (HP_, 1, 1))
+    act_key, step_key = jax.random.split(jax.random.PRNGKey(5))
+
+    mesh = make_mesh(samples=1, scenarios=1, devices=jax.devices()[:1])
+    solve = make_sharded_mppi_solve(env, mesh, N=Nk, H=HP_, lam=0.01,
+                                    engine="pallas", interpret=True,
+                                    rng="kernel")
+    a_mean_new, a_cov_new, min_cost = solve(
+        pack_state(state), state.time, state.pos_traj, state.vel_traj,
+        a_mean, a_cov, 1.0, 0.0, 1.0, params, act_key, step_key,
+    )
+
+    fused = make_pallas_rollout_sampling(env, interpret=True)
+    costs, a_flat = fused(
+        pack_state(state), state.time, state.pos_traj, state.vel_traj,
+        a_mean, jnp.linalg.cholesky(a_cov), params, step_key,
+        jax.random.fold_in(act_key, 0), Nk,
+        deterministic=False, discount=1.0,
+    )
+    w = reductions.mppi_weights(costs, 0.01)
+    mean_ref = jnp.einsum("n,hdn->hd", w, a_flat.reshape(HP_, 4, Nk))
+
+    np.testing.assert_allclose(np.asarray(a_mean_new), np.asarray(mean_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a_cov_new), np.asarray(a_cov),
+                               atol=1e-6)  # gamma_sigma=0
+    assert float(min_cost) == pytest.approx(float(jnp.min(costs)), abs=1e-5)
+
+
+@pytest.mark.slow
+def test_sharded_covo_kernel_rng_matches_direct(setup):
+    """1-shard sharded CoVO core with rng='kernel' == the fused joint
+    sampling kernel + hand-rolled update; 2-shard run stays finite (the
+    kernel mode is documented NOT shard-count invariant)."""
+    from covo_mpc_tpu.ops.rollout_pallas import (
+        make_pallas_rollout_joint_sampling,
+    )
+
+    env, params, state = setup
+    Nk = 1024
+    a_mean = hover_sequence(env, HP_)
+    D = HP_ * env.action_dim
+    factor = 0.3 * jnp.eye(D) + 0.01 * jax.random.normal(
+        jax.random.PRNGKey(3), (D, D)
+    )
+    act_key, step_key = jax.random.split(jax.random.PRNGKey(5))
+
+    outs = {}
+    for n_shards in (1, 2):
+        mesh = make_mesh(samples=n_shards, scenarios=1,
+                         devices=jax.devices()[:n_shards])
+        solve = make_sharded_covo_sample_rollout(
+            env, mesh, N=Nk, H=HP_, lam=0.01, engine="pallas",
+            interpret=True, rng="kernel",
+        )
+        a_mean_new, min_cost = solve(
+            pack_state(state), state.time, state.pos_traj, state.vel_traj,
+            a_mean.flatten(), factor, 1.0, 1.0, params, act_key, step_key,
+        )
+        assert bool(jnp.all(jnp.isfinite(a_mean_new)))
+        outs[n_shards] = (np.asarray(a_mean_new), float(min_cost))
+
+    fused = make_pallas_rollout_joint_sampling(env, interpret=True)
+    costs, a_t = fused(
+        pack_state(state), state.time, state.pos_traj, state.vel_traj,
+        a_mean, factor, params, step_key, jax.random.fold_in(act_key, 0),
+        Nk, deterministic=True, discount=1.0,
+    )
+    w = reductions.mppi_weights(costs, 0.01)
+    mean_ref = jnp.einsum("n,dn->d", w, a_t).reshape(HP_, 4)
+
+    np.testing.assert_allclose(outs[1][0], np.asarray(mean_ref), atol=1e-5)
+    assert outs[1][1] == pytest.approx(float(jnp.min(costs)), abs=1e-5)
+
+
+@pytest.mark.slow
+def test_distributed_covo_solve_kernel_rng(setup):
+    """make_distributed_covo_solve(rng='kernel') runs end-to-end on a
+    2-shard mesh in interpret mode and returns finite, in-range results."""
+    from covo_mpc_tpu.parallel.sharded import make_distributed_covo_solve
+
+    env, params, state = setup
+    mesh = make_mesh(samples=2, scenarios=1, devices=jax.devices()[:2])
+    solve = make_distributed_covo_solve(
+        env, mesh, N=2048, H=HP_, lam=0.01, engine="pallas",
+        interpret=True, rng="kernel",
+    )
+    a_mean_new, min_cost = solve(
+        pack_state(state), state.time, state.pos_traj, state.vel_traj,
+        hover_sequence(env, HP_), params, jax.random.PRNGKey(21),
+    )
+    assert a_mean_new.shape == (HP_, 4)
+    assert bool(jnp.all(jnp.isfinite(a_mean_new)))
+    assert float(jnp.max(jnp.abs(a_mean_new))) <= 1.0 + 1e-6
+    assert bool(jnp.isfinite(min_cost))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("maker", ["covo", "mppi"])
+def test_multichip_step_kernel_rng(setup, maker):
+    """Multichip control steps with rng='kernel' run end-to-end on a
+    (samples=2, scenarios=2) interpret-mode mesh: finite rewards, updated
+    in-range means (the kernel mode is documented NOT mesh-shape
+    invariant, so this pins wiring + sanity, not bit equality)."""
+    from covo_mpc_tpu.parallel.scenarios import (
+        make_multichip_control_step,
+        make_multichip_covo_step,
+    )
+
+    env, params, _ = setup
+    B, n_samples = 2, 2048
+    keys = jax.random.split(jax.random.PRNGKey(1), B)
+    scen_params = jax.vmap(env.sample_params)(keys)
+    states = jax.vmap(lambda k, p: env.reset_env(k, p)[2])(keys, scen_params)
+    a_means = jnp.tile(hover_sequence(env, HP_)[None], (B, 1, 1))
+    mesh = make_mesh(samples=2, scenarios=2, devices=jax.devices()[:4])
+
+    if maker == "covo":
+        step = make_multichip_covo_step(env, mesh, N=n_samples, H=HP_,
+                                        lam=0.01, engine="pallas",
+                                        interpret=True, rng="kernel")
+        _, a_means2, rewards, _ = step(states, scen_params, a_means, keys)
+    else:
+        step = make_multichip_control_step(env, mesh, N=n_samples, H=HP_,
+                                           lam=0.01, engine="pallas",
+                                           interpret=True, rng="kernel")
+        a_covs = jnp.tile(jnp.eye(4) * 0.25, (B, HP_, 1, 1))
+        _, a_means2, a_covs2, rewards, _ = step(states, scen_params,
+                                                a_means, a_covs, keys)
+        np.testing.assert_allclose(np.asarray(a_covs2), np.asarray(a_covs),
+                                   atol=1e-6)  # gamma_sigma=0 default
+    assert bool(jnp.all(jnp.isfinite(rewards)))
+    assert bool(jnp.all(jnp.isfinite(a_means2)))
+    assert float(jnp.max(jnp.abs(a_means2))) <= 1.0 + 1e-6
+    assert float(jnp.max(jnp.abs(a_means2 - a_means))) > 0.0
