@@ -126,7 +126,12 @@ def bench_scenarios(env, args, k: int = 8):
         return (min(t2s) - min(t1s)) / (k2 - k)
 
     # --- CoVO-online ---
+    # the batched solves know only fast (per-scenario fold_in streams) vs
+    # kernel draws — coerce "invariant" so the printed row's rng label
+    # matches what actually ran
     rng = getattr(args, "rng", "fast")
+    if rng != "kernel":
+        rng = "fast"
     covo = make_batched_covo_solve(env, args.n, args.h, 0.01, rng=rng)
 
     def make_covo_run(length):
@@ -305,6 +310,7 @@ def main():
             for e in ("jnp", "pallas"):
                 bench_one(c, e)
         bench_one("mppi", "pallas", rng_mode=sampling.KERNEL)
+        bench_one("covo_online", "pallas", rng_mode=sampling.KERNEL)
         bench_one("covo_online", "pallas", sigma_mode="eigh")
         bench_covo_offline(env, args, k=args.k)
         bench_pid(k=args.k * 4)

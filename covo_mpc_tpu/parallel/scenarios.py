@@ -26,8 +26,7 @@ from covo_mpc_tpu.parallel.mesh import SAMPLE_AXIS, SCENARIO_AXIS
 from covo_mpc_tpu.utils.vma import pvary
 
 
-def _make_batched_cost_engine(env, engine: str, n_local: int,
-                              interpret: bool = False):
+def _make_batched_cost_engine(env, engine: str, interpret: bool = False):
     """Scenario-batched costs-only rollout for the multichip steps.
 
     ``engine="pallas"`` runs ONE fused kernel over a (B_local, lane-tiles)
@@ -123,7 +122,7 @@ def make_multichip_control_step(env, mesh, N: int, H: int, lam: float,
                                                      joint=False)
     else:
         fused = None
-    costs_engine = _make_batched_cost_engine(env, engine, n_local, interpret)
+    costs_engine = _make_batched_cost_engine(env, engine, interpret)
     # fast path samples in the kernel's sample-axis-last layout (same
     # draws — ops/sampling.sample_per_step_t), skipping per-shard transposes
     transposed = engine == "pallas"
@@ -426,7 +425,7 @@ def make_multichip_covo_step(env, mesh, N: int, H: int, lam: float,
                                                      joint=True)
     else:
         fused = None
-    costs_engine = _make_batched_cost_engine(env, engine, n_local, interpret)
+    costs_engine = _make_batched_cost_engine(env, engine, interpret)
     # see make_multichip_control_step: kernel-layout sampling on the fast path
     transposed = engine == "pallas"
     # scan primal: the local scenario batch vmaps the Hessian, and the

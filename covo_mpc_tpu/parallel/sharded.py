@@ -40,17 +40,17 @@ def _replicated_specs(tree):
 PALLAS_TILE = 1024  # per-shard sample-count granularity of the fused kernel
 
 
-def make_cost_engine(env, engine: str, n_local: int, interpret: bool = False):
+def make_cost_engine(env, engine: str, interpret: bool = False):
     """Uniform costs-only rollout callable for the sharded solve cores.
 
     ``engine="pallas"`` runs the fused Pallas rollout kernel PER SHARD —
     the TPU-native execution SURVEY.md §2's parallelism table prescribes
     (vs the reference's vmap, quadjax/controllers/mppi.py:73-75) — so a
     multi-chip solve sustains the single-chip flagship rate per chip
-    instead of the ~3x slower jnp path. Requires the per-shard sample
-    count to be tile-aligned (n_local % 1024 == 0) and a
-    state-independent disturbance model; ``interpret=True`` runs the
-    kernel in interpret mode for CPU-mesh tests.
+    instead of the ~3x slower jnp path. Ragged/small per-shard sample
+    counts are tile-padded by the kernel (each shard computes at least
+    one full 1024-sample tile); ``interpret=True`` runs the kernel in
+    interpret mode for CPU-mesh tests.
 
     Returns ``costs_fn(x0, t0, pos_traj, vel_traj, actions, params,
     step_key, deterministic, discount, vary_axes) -> costs (n_local,)``.
@@ -128,7 +128,7 @@ def make_sharded_mppi_solve(env, mesh, N: int, H: int, lam: float,
         fused = make_pallas_rollout_sampling(env, interpret=interpret)
     else:
         fused = None
-    rollout = make_cost_engine(env, engine, n_local, interpret)
+    rollout = make_cost_engine(env, engine, interpret)
     # the fused kernel consumes actions sample-axis-last; sampling directly
     # in that layout skips the per-shard action transpose (same draws —
     # ops/sampling.sample_per_step_t), matching the single-chip fast path
@@ -249,7 +249,7 @@ def make_sharded_covo_sample_rollout(env, mesh, N: int, H: int, lam: float,
         fused = make_pallas_rollout_joint_sampling(env, interpret=interpret)
     else:
         fused = None
-    rollout = make_cost_engine(env, engine, n_local, interpret)
+    rollout = make_cost_engine(env, engine, interpret)
     dA = env.action_dim
     # see make_sharded_mppi_solve: kernel-layout sampling on the fast path
     transposed = engine == "pallas"

@@ -56,6 +56,7 @@ def write_metrics_jsonl(metrics: dict, err_pos: jnp.ndarray, path: str):
                 err_pos=err[ep] if err.ndim == 1 else err[ep, t],
                 **{k: v[ep, t] for k, v in arrs.items()},
             )
+    logger.close()
     return logger
 
 

@@ -38,19 +38,32 @@ def sigma_metrics(a_cov: jnp.ndarray) -> dict:
 
 
 class MetricsLogger:
-    """Append-only JSONL metrics sink with wall-clock stamps."""
+    """JSONL metrics sink with wall-clock stamps.
+
+    The file is opened once at the first ``log`` (truncating any previous
+    run's records — re-running an eval with the same ``--name`` must not
+    accumulate stale rows) and kept open across records; call ``close``
+    (or rely on interpreter teardown) to flush.
+    """
 
     def __init__(self, path: Optional[str] = None):
         self.path = path
         self.records = []
+        self._fh = None
 
     def log(self, step: int, **values):
         rec = {"step": step, "t": time.time()}
         rec.update({k: float(v) for k, v in values.items()})
         self.records.append(rec)
         if self.path:
-            with open(self.path, "a") as f:
-                f.write(json.dumps(rec) + "\n")
+            if self._fh is None:
+                self._fh = open(self.path, "w")
+            self._fh.write(json.dumps(rec) + "\n")
+
+    def close(self):
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
 
     def summary(self) -> dict:
         if not self.records:

@@ -73,7 +73,9 @@ class MPPISolver(BaseSolver):
                 )
             else:
                 self.rollout_sampling = None
-                self.rollout = make_pallas_rollout(env, interpret=interpret)
+            # costs-only engine built unconditionally (like CoVOSolver)
+            # so solver.rollout exists in every configuration
+            self.rollout = make_pallas_rollout(env, interpret=interpret)
             # fast samplers emit actions directly in the kernel's
             # sample-axis-last layout — no 4 MB transpose on the hot path
             self.transposed = rng_mode != sampling.PARITY
