@@ -144,6 +144,22 @@ def test_metrics():
     assert log.summary()["err"]["last"] == pytest.approx(0.2)
 
 
+def test_metrics_logger_truncates_previous_run(tmp_path):
+    """A fresh logger on an existing path replaces the old records — a
+    re-run with the same --name must not accumulate stale JSONL rows."""
+    import json
+
+    p = str(tmp_path / "m.jsonl")
+    for run in range(2):
+        log = MetricsLogger(p)
+        log.log(0, err=float(run))
+        log.log(1, err=float(run))
+        log.close()
+    recs = [json.loads(l) for l in open(p)]
+    assert len(recs) == 2
+    assert all(r["err"] == 1.0 for r in recs)
+
+
 def test_cli_render_smoke(tmp_path):
     from covo_mpc_tpu import cli
 
