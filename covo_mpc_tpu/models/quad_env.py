@@ -85,7 +85,18 @@ class QuadEnv:
             # reference declares 39 + 30 at quadrotor.py:179 but its builders
             # actually emit 67; we report the real width.)
             self.obs_dim = 19 + self._traj_obs_len * 6 + 18
+        elif config.obs_type == "params":
+            self.get_obs = self.get_obs_paramsonly
+            self.obs_dim = 18
+        elif config.obs_type == "adapt_hist":
+            self.get_obs = self.get_obs_adapt_hist
+            # 7 feature blocks x adapt_horizon rows: vel/omega/dvel/ddvel/
+            # domega/ddomega (3 cols each) + action_hist (4 cols)
+            self.obs_dim = self._adapt_horizon * 22
         else:
+            # "quad_l1" needs the L1 lower controller, which lives on the
+            # reference's rl branch and is broken in its MPC branch
+            # (quadrotor.py:472-477, 101-126) — out of scope like the hook.
             raise NotImplementedError(f"unknown obs_type {config.obs_type!r}")
 
         self.action_dim = 4

@@ -176,3 +176,40 @@ def test_obs_quad_params_parity():
     obs_r, _, state_r = env_r.reset_env(key, params_r)
     np.testing.assert_allclose(obs, obs_r, atol=1e-5)
     assert env.obs_dim == obs.shape[0] == 67
+
+
+@pytest.mark.parametrize("obs_type,ref_builder", [
+    ("params", "get_obs_paramsonly"),
+    ("adapt_hist", "get_obs_adapt_hist"),
+])
+def test_obs_extra_types_wired(obs_type, ref_builder):
+    """The params / adapt_hist builders are selectable via EnvConfig.
+
+    The reference exposes these builders (quadrotor.py:396-452) but only
+    wires quad/quad_params/quad_l1 in its ctor (:176-192); here every
+    in-scope builder is config-selectable. Width pins the real emitted
+    dim (the reference's declared adapt_obs_dim=22*h matches; its
+    param_obs_dim=20 is stale — the builder emits 18)."""
+    env = QuadEnv(
+        EnvConfig(task="tracking", obs_type=obs_type, enable_randomizer=True,
+                  disturb_type="gaussian", disable_rollover_terminate=True,
+                  generate_noisy_state=True)
+    )
+    key = jax.random.PRNGKey(7)
+    params = env.sample_params(key)
+    obs, _, state = env.reset_env(key, params)
+    assert obs.shape == (env.obs_dim,)
+    assert np.isfinite(np.asarray(obs)).all()
+
+    ref = load_reference()
+    if ref is None:
+        pytest.skip("reference unavailable")
+    env_r = ref.envs.quadrotor.Quad3D(
+        task="tracking", obs_type="quad", enable_randomizer=True,
+        disturb_type="gaussian", disable_rollover_terminate=True,
+        generate_noisy_state=True,
+    )
+    params_r = env_r.sample_params(key)
+    _, _, state_r = env_r.reset_env(key, params_r)
+    obs_r = getattr(env_r, ref_builder)(state_r, params_r)
+    np.testing.assert_allclose(obs, obs_r, atol=1e-5)
