@@ -232,6 +232,49 @@ def bench_covo_offline(env, args, k: int = 32):
     return rate
 
 
+def wait_for_backend(budget_s: float) -> None:
+    """Wait (bounded) for the TPU backend to come up before touching jax.
+
+    The axon tunnel on this machine goes down for hours at a time; its
+    backend init BLOCKS inside PJRT and then raises UNAVAILABLE, so an
+    in-process try/except can stall unboundedly. Probe from a subprocess
+    with a hard timeout instead and retry until ``budget_s`` is spent —
+    then fall through and let the real init produce its own error.
+    """
+    import os
+    import subprocess
+
+    if "axon" not in os.environ.get("JAX_PLATFORMS", "axon"):
+        return  # cpu/tpu-local run: nothing to wait for
+    deadline = time.time() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        left = deadline - time.time()
+        if left <= 0:
+            print("[bench] backend wait budget exhausted; proceeding "
+                  "(init may fail)", file=sys.stderr)
+            return
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True,
+                timeout=min(300, left),
+            )
+            rc = probe.returncode
+        except subprocess.TimeoutExpired:
+            rc = "timeout"
+        if rc == 0:
+            if attempt > 1:
+                print(f"[bench] backend up after {attempt} probes",
+                      file=sys.stderr)
+            return
+        print(f"[bench] backend probe {attempt} failed "
+              f"(rc={rc}); retrying ({int(left)}s budget left)",
+              file=sys.stderr)
+        time.sleep(min(60, max(0, deadline - time.time())))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8192)
@@ -247,7 +290,13 @@ def main():
     ap.add_argument("--scenarios", type=int, default=0,
                     help="also bench the scenario-batched CoVO solve "
                          "(aggregate solves/s/chip at B scenarios)")
+    ap.add_argument("--wait-tpu", type=float, default=1200.0,
+                    help="seconds to wait for the (flaky) TPU tunnel "
+                         "before starting; 0 = don't probe")
     args = ap.parse_args()
+
+    if args.wait_tpu > 0:
+        wait_for_backend(args.wait_tpu)
 
     from covo_mpc_tpu.models import EnvConfig, QuadEnv
     from covo_mpc_tpu.ops import covariance, sampling
