@@ -33,6 +33,9 @@ def main():
                     default=["pid", "mppi", "covo_online", "covo_offline"])
     ap.add_argument("--engine", default="pallas", choices=["pallas", "jnp"])
     ap.add_argument("--sigma-mode", default="ns", choices=["eigh", "ns", "ns_pallas"])
+    ap.add_argument("--rng", default="fast", choices=["fast", "invariant", "kernel"],
+                    help="sampler mode for the sampled controllers (kernel = "
+                         "in-kernel TPU-PRNG draw; quality-gates that mode)")
     args = ap.parse_args()
 
     import jax
@@ -58,7 +61,7 @@ def main():
     for name in args.controllers:
         sampled = name != "pid"
         solver, _ = get_solver(
-            env, name, pstr, rng_mode=sampling.FAST,
+            env, name, pstr, rng_mode=args.rng if sampled else sampling.FAST,
             hessian_mode="adjoint" if "covo" in name else "fwd_fwd",
             collect_debug=False,
             engine=args.engine if sampled else "jnp",
@@ -80,7 +83,7 @@ def main():
         "(reference: quadrotor.py:506-591). Error = mean ||pos - pos_tar|| "
         "over the episode, in cm. Device: "
         f"{jax.devices()[0]}. Fast path: engine={args.engine}, "
-        f"sigma_mode={args.sigma_mode}, adjoint Hessian, fast sampler.",
+        f"sigma_mode={args.sigma_mode}, adjoint Hessian, {args.rng} sampler.",
         "",
         "| controller | err_pos (cm) | vs MPPI |",
         "|---|---|---|",
