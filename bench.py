@@ -194,6 +194,40 @@ def bench_scenarios(env, args, k: int = 8):
     return agg
 
 
+def bench_speculative(env, args, k: int = 32, rng_mode=None):
+    """covo_speculative: the obs→action latency path (act: shift + sample +
+    rollout + update with the Σ prepared last step) vs the full step
+    (act + prepare fused). act is what a deployed 50 Hz loop pays between
+    observing the state and emitting the action; prepare hides in loop
+    idle (or on a second pipeline chip)."""
+    from covo_mpc_tpu.ops import sampling
+    from covo_mpc_tpu.solvers import get_solver
+
+    if rng_mode is None:
+        rng_mode = sampling.FAST
+    params = env.default_params
+    obs, info, state = env.reset_env(jax.random.PRNGKey(0), params)
+    solver, cp = get_solver(
+        env, "covo_speculative", f"N{args.n}_H{args.h}_lam0.01",
+        rng_mode=rng_mode, hessian_mode="adjoint", collect_debug=False,
+        engine=args.engine, sigma_mode="ns",
+    )
+    cp = solver.reset(state, params, cp, jax.random.PRNGKey(7))
+    per_full, _ = measure_solve_rate(solver, obs, state, params, info, cp, k=k)
+    per_act, _ = measure_solve_rate(
+        solver.act, obs, state, params, info, cp, k=k
+    )
+    tag = f"{args.engine}+krng" if rng_mode == sampling.KERNEL else args.engine
+    print(
+        f"[bench] covo_spec    engine={tag:6s} N={args.n} H={args.h}: "
+        f"act {per_act*1e3:7.3f} ms obs->action "
+        f"({1.0/per_act:7.1f}/s), full step {per_full*1e3:7.3f} ms "
+        f"({1.0/per_full:7.1f}/s)",
+        file=sys.stderr,
+    )
+    return 1.0 / per_act
+
+
 def bench_covo_offline(env, args, k: int = 32):
     """CoVO-offline: one-time Σ-schedule precompute (the reference redoes
     this scan at every reset, covo.py:101-112) + steady-state solve rate
@@ -362,6 +396,9 @@ def main():
         bench_one("covo_online", "pallas", rng_mode=sampling.KERNEL)
         bench_one("covo_online", "pallas", sigma_mode="eigh")
         bench_covo_offline(env, args, k=args.k)
+        bench_speculative(env, args, k=args.k)
+        if args.engine == "pallas":  # in-kernel draw needs the fused kernel
+            bench_speculative(env, args, k=args.k, rng_mode=sampling.KERNEL)
         bench_pid(k=args.k * 4)
 
     if args.scenarios:

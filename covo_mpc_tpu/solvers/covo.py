@@ -43,6 +43,9 @@ class CoVOParams:
     a_mean: jnp.ndarray  # (H, dA)
     a_cov: jnp.ndarray  # (H*dA, H*dA) joint covariance
     a_cov_offline: jnp.ndarray  # (max_steps, H*dA, H*dA) after offline reset
+    # speculative mode only: the sampling factor designed LAST step for the
+    # current step's Σ (factor @ factor.T == a_cov); None in online/offline
+    a_factor: jnp.ndarray = None
 
 
 class CoVOSolver(BaseSolver):
@@ -64,7 +67,7 @@ class CoVOSolver(BaseSolver):
     ) -> None:
         super().__init__(env, control_params)
         self.collect_metrics = collect_metrics
-        if mode not in ("online", "offline"):
+        if mode not in ("online", "offline", "speculative"):
             raise NotImplementedError(f"unknown CoVO mode {mode!r}")
         if sigma_mode == "eigh":
             self._optimize_sigma = covariance.optimize_sigma
@@ -185,10 +188,79 @@ class CoVOSolver(BaseSolver):
         R = self.get_hessian(env_state, env_params, control_params.a_mean, key)
         return self._optimize_sigma(R, control_params.sample_sigma, self.D)
 
+    # -- speculative mode (extension; not in the reference) ------------------
+    @partial(jax.jit, static_argnums=(0,))
+    def prepare(self, env_state, env_params, control_params, key, info=None):
+        """Design Σ for the NEXT control step from the model-predicted state.
+
+        Steps the model once with the action about to be applied
+        (``a_mean[0]`` after the update, deterministic dynamics — the same
+        model the rollouts use) and runs the Hessian + Σ-designer at that
+        predicted state, storing ``(a_cov, a_factor)`` for the next
+        :meth:`act`. This moves the whole Σ design off the obs→action
+        critical path: in a deployed control loop it runs in the idle time
+        after the action is sent (at 50 Hz, ~19.7 ms of idle vs ~0.15 ms of
+        design work); on a device mesh it is the second stage of a
+        two-stage pipeline. The Σ is one model step stale — quality sits
+        between covo_online (exact state) and covo_offline (whole schedule
+        precomputed), gated on the 40-episode protocol in RESULTS.md.
+        """
+        if self.mode != "speculative":
+            raise ValueError("prepare() requires mode='speculative'")
+        if info is not None and info.get("noisy_state") is not None:
+            env_state = info["noisy_state"]  # same injection as act()
+        action = control_params.a_mean[0]
+        key, k_step = jax.random.split(key)
+        _, x_next, _, _, _ = self.env.step_env(
+            k_step, env_state, action, env_params, deterministic=True
+        )
+        nominal = jnp.concatenate(
+            [control_params.a_mean[1:], control_params.a_mean[-1:]]
+        )
+        R = self.get_hessian(x_next, env_params, nominal, key)
+        a_cov, factor = self._optimize_sigma(
+            R, control_params.sample_sigma, self.D
+        )
+        return control_params.replace(a_cov=a_cov, a_factor=factor)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def act(self, obs, env_state, env_params, rng_act, control_params, info=None):
+        """Speculative mode's obs→action path: shift + sample + rollout +
+        update with the Σ prepared last step — no Hessian, no designer.
+        ``__call__`` is ``act`` + ``prepare`` fused (for protocol
+        compatibility); call them separately to overlap ``prepare`` with
+        control-loop idle or another pipeline stage."""
+        if self.mode != "speculative":
+            raise ValueError("act() requires mode='speculative'")
+        if info is not None and info.get("noisy_state") is not None:
+            env_state = info["noisy_state"]
+        a_mean = jnp.concatenate(
+            [control_params.a_mean[1:], control_params.a_mean[-1:]]
+        )
+        control_params = control_params.replace(a_mean=a_mean)
+        return self._sample_rollout_update(
+            control_params, env_state, env_params, rng_act,
+            control_params.a_cov, control_params.a_factor,
+        )
+
     # -- offline schedule ---------------------------------------------------
     def reset(self, env_state=None, env_params=None, control_params=None, key=None):
         if self.mode == "online":
             return self.init_control_params
+        if self.mode == "speculative":
+            if control_params is None:
+                control_params = self.init_control_params
+            if env_state is None:
+                return control_params
+            # cold start: design step 0's Σ exactly where the online mode
+            # would — at the reset state around the shifted initial nominal
+            nominal = jnp.concatenate(
+                [control_params.a_mean[1:], control_params.a_mean[-1:]]
+            )
+            a_cov, factor = self._sigma_online(
+                control_params.replace(a_mean=nominal), env_state, env_params, key
+            )
+            return control_params.replace(a_cov=a_cov, a_factor=factor)
         return self._reset_offline(env_state, env_params, control_params, key)
 
     @partial(jax.jit, static_argnums=(0,))
@@ -271,12 +343,39 @@ class CoVOSolver(BaseSolver):
             a_cov, factor = self._sigma_online(
                 control_params, env_state, env_params, rng_act
             )
-        else:
+        elif self.mode == "offline":
             a_cov = control_params.a_cov_offline[env_state.time]
             factor = None
+        else:  # speculative: Σ was designed LAST step from the predicted state
+            a_cov = control_params.a_cov
+            factor = control_params.a_factor
         control_params = control_params.replace(a_cov=a_cov)
 
+        action, control_params, info_out = self._sample_rollout_update(
+            control_params, env_state, env_params, rng_act, a_cov, factor
+        )
+        if self.mode == "speculative":
+            # design the NEXT step's Σ from the model-predicted next state —
+            # off the obs→action critical path (runs after the action is
+            # determined; at 50 Hz it hides entirely in control-loop idle,
+            # and on a mesh it maps to a pipeline stage on another chip).
+            # fold_in keeps the prepare key chain disjoint from the tail's
+            # act/step splits of the same rng_act.
+            control_params = self.prepare(
+                env_state, env_params, control_params,
+                jax.random.fold_in(rng_act, 7919),
+            )
+        return action, control_params, info_out
+
+    def _sample_rollout_update(
+        self, control_params, env_state, env_params, rng_act, a_cov, factor
+    ):
+        """Joint sampling + N×H rollout + weighted mean update given the
+        step's Σ (and optionally its sampling factor). The rng split chain
+        is identical for every mode, so online and speculative consume the
+        same sample keys (pinned by tests/test_covo.py)."""
         # joint (H·dA)-dim sampling (reference: covo.py:212-221)
+        a_mean = control_params.a_mean
         rng_act, act_key = jax.random.split(rng_act)
         if self.rng_mode == sampling.PARITY or factor is None:
             factor = jnp.linalg.cholesky(a_cov)

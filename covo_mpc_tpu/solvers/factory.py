@@ -109,7 +109,15 @@ def get_solver(
         )
         return solver, params
     if "covo" in name:
-        mode = "offline" if "offline" in name else "online"
+        # substring matching like the reference (quadrotor.py:724-737);
+        # "spec"/"latency" selects the speculative pipeline mode (extension:
+        # Σ designed one step ahead from the model-predicted state)
+        if "offline" in name:
+            mode = "offline"
+        elif "spec" in name or "latency" in name:
+            mode = "speculative"
+        else:
+            mode = "online"
         a_cov = jnp.diag(jnp.full((H * env.action_dim,), sigma**2))
         params = CoVOParams(
             gamma_mean=1.0,
@@ -119,6 +127,12 @@ def get_solver(
             a_mean=a_mean,
             a_cov=a_cov,
             a_cov_offline=jnp.zeros((H, env.action_dim, env.action_dim)),
+            # isotropic cold-start factor for step 0 when reset() is not
+            # given a state to design from (factor @ factor.T == a_cov)
+            a_factor=(
+                jnp.eye(H * env.action_dim) * sigma
+                if mode == "speculative" else None
+            ),
         )
         solver = CoVOSolver(
             env, params, N=N, H=H, lam=lam, mode=mode, rng_mode=rng_mode,

@@ -504,3 +504,121 @@ class TestAutoResolution:
         s, _ = get_solver(env, "covo_online", PSTR, rng_mode=sampling.PARITY,
                           sigma_mode="auto")
         assert s._optimize_sigma is covariance.optimize_sigma
+
+
+class TestSpeculative:
+    """covo_speculative: Σ designed one step AHEAD from the model-predicted
+    state (TPU-native extension, not in the reference — the Hessian +
+    designer move off the obs→action critical path; see DESIGN.md)."""
+
+    KW = dict(rng_mode=sampling.FAST, hessian_mode="adjoint",
+              collect_debug=False, engine="jnp", sigma_mode="ns")
+
+    @staticmethod
+    def _env_exact():
+        # noise-free env (no dyn noise, no obs noise) so the one-step model
+        # prediction is exact and speculative Σ == online Σ
+        return QuadEnv(
+            EnvConfig(
+                task="tracking",
+                enable_randomizer=False,
+                disturb_type="none",
+                disable_rollover_terminate=True,
+                generate_noisy_state=False,
+            )
+        )
+
+    def test_matches_online_when_prediction_exact(self):
+        """With exact prediction the speculative solver designs the SAME Σ
+        the online solver designs one step later, and the solve consumes
+        the same key splits — the closed-loop action sequences coincide."""
+        env = self._env_exact()
+        spec, cp_s = get_solver(env, "covo_speculative", "N64_H4_lam0.01", **self.KW)
+        onl, cp_o = get_solver(env, "covo_online", "N64_H4_lam0.01", **self.KW)
+        params = env.default_params
+        obs, info, state = env.reset_env(jax.random.PRNGKey(0), params)
+        kr = jax.random.PRNGKey(3)
+        cp_s = spec.reset(state, params, cp_s, kr)
+        cp_o = onl.reset(state, params, cp_o, kr)
+        rng = jax.random.PRNGKey(5)
+        so, oo = state, state
+        for t in range(4):
+            rng, k = jax.random.split(rng)
+            a_s, cp_s, _ = spec(obs, so, params, k, cp_s, None)
+            a_o, cp_o, _ = onl(obs, oo, params, k, cp_o, None)
+            np.testing.assert_allclose(np.asarray(a_s), np.asarray(a_o),
+                                       atol=1e-5, err_msg=f"step {t}")
+            _, so, _, _, _ = env.step_env(k, so, a_s, params, deterministic=True)
+            _, oo, _, _, _ = env.step_env(k, oo, a_o, params, deterministic=True)
+
+    def test_act_prepare_equals_call(self):
+        """__call__ is exactly act() + prepare() (the split API a deployed
+        loop uses to overlap Σ design with idle time)."""
+        env = self._env_exact()
+        spec, cp0 = get_solver(env, "covo_speculative", "N64_H4_lam0.01", **self.KW)
+        params = env.default_params
+        obs, info, state = env.reset_env(jax.random.PRNGKey(0), params)
+        cp1 = spec.reset(state, params, cp0, jax.random.PRNGKey(3))
+        k = jax.random.PRNGKey(9)
+        a_full, cp_full, _ = spec(obs, state, params, k, cp1, None)
+        a_act, cp_act, _ = spec.act(obs, state, params, k, cp1, None)
+        cp_act = spec.prepare(state, params, cp_act, jax.random.fold_in(k, 7919))
+        np.testing.assert_array_equal(np.asarray(a_full), np.asarray(a_act))
+        np.testing.assert_array_equal(np.asarray(cp_full.a_cov),
+                                      np.asarray(cp_act.a_cov))
+        np.testing.assert_array_equal(np.asarray(cp_full.a_factor),
+                                      np.asarray(cp_act.a_factor))
+
+    def test_factory_and_cold_start(self):
+        """"latency"/"spec" substrings select the mode; without a reset
+        state the isotropic cold-start factor is used and the solve runs."""
+        env = make_env()
+        spec, cp = get_solver(env, "covo_latency", "N64_H4_lam0.01", **self.KW)
+        assert spec.mode == "speculative"
+        D = 4 * env.action_dim
+        np.testing.assert_allclose(
+            np.asarray(cp.a_factor @ cp.a_factor.T), np.asarray(cp.a_cov),
+            atol=1e-6,
+        )
+        params = env.default_params
+        obs, info, state = env.reset_env(jax.random.PRNGKey(0), params)
+        # reset without a state keeps the cold-start factor
+        assert spec.reset() is cp or np.allclose(
+            np.asarray(spec.reset().a_factor), np.asarray(cp.a_factor)
+        )
+        act, cp2, _ = spec(obs, state, params, jax.random.PRNGKey(1), cp, info)
+        assert float(jnp.max(jnp.abs(act))) <= 1.0
+        assert bool(jnp.all(jnp.isfinite(cp2.a_cov)))
+        # prepare stored a NEW Σ for the next step (not the isotropic one)
+        assert cp2.a_cov.shape == (D, D)
+        assert float(jnp.max(jnp.abs(cp2.a_cov - cp.a_cov))) > 1e-8
+
+    def test_mode_guards(self):
+        env = make_env()
+        onl, cp = get_solver(env, "covo_online", "N64_H4_lam0.01", **self.KW)
+        params = env.default_params
+        obs, info, state = env.reset_env(jax.random.PRNGKey(0), params)
+        with pytest.raises(ValueError, match="speculative"):
+            onl.act(obs, state, params, jax.random.PRNGKey(1), cp, info)
+        with pytest.raises(ValueError, match="speculative"):
+            onl.prepare(state, params, cp, jax.random.PRNGKey(1))
+
+    def test_kernel_layout_engine(self):
+        """speculative + pallas_interpret + in-kernel-rng layout runs and
+        stays in range (the production single-chip fast path)."""
+        env = make_env()
+        spec, cp = get_solver(
+            env, "covo_speculative", "N1024_H8_lam0.01",
+            rng_mode=sampling.KERNEL, hessian_mode="adjoint",
+            collect_debug=False, engine="pallas_interpret", sigma_mode="ns",
+        )
+        params = env.default_params
+        obs, info, state = env.reset_env(jax.random.PRNGKey(0), params)
+        cp = spec.reset(state, params, cp, jax.random.PRNGKey(3))
+        rng = jax.random.PRNGKey(5)
+        for _ in range(2):
+            rng, k = jax.random.split(rng)
+            act, cp, _ = spec(obs, state, params, k, cp, info)
+            assert float(jnp.max(jnp.abs(act))) <= 1.0
+            assert bool(jnp.all(jnp.isfinite(cp.a_mean)))
+            obs, state, _, _, info = env.step_env(k, state, act, params)[:5]
