@@ -2,6 +2,12 @@
 
 from covo_mpc_tpu.parallel.distributed import device_topology, initialize_distributed
 from covo_mpc_tpu.parallel.mesh import SAMPLE_AXIS, SCENARIO_AXIS, make_mesh
+from covo_mpc_tpu.parallel.pipeline import (
+    PIPE_AXIS,
+    make_init_factor,
+    make_pipeline_mesh,
+    make_pipeline_step,
+)
 from covo_mpc_tpu.parallel.scenarios import (
     make_batched_covo_solve,
     make_multichip_control_step,
@@ -13,8 +19,12 @@ from covo_mpc_tpu.parallel.sharded import (
 )
 
 __all__ = [
+    "PIPE_AXIS",
     "SAMPLE_AXIS",
     "SCENARIO_AXIS",
+    "make_init_factor",
+    "make_pipeline_mesh",
+    "make_pipeline_step",
     "device_topology",
     "initialize_distributed",
     "make_mesh",

@@ -1,0 +1,250 @@
+"""Two-stage speculative CoVO pipeline over a mesh ``pipe`` axis.
+
+``CoVOSolver(mode="speculative")`` (solvers/covo.py) splits the solve into
+``act`` (shift + sample + rollout + update — the obs→action critical path)
+and ``prepare`` (adjoint Hessian + Σ-designer at the model-predicted next
+state). On one chip the two still run back-to-back; ``prepare`` hides only
+in control-loop idle. This module maps the same cut onto TWO devices of a
+mesh: every control step the ``act`` stage (pipe index 0) solves with the
+factor the design stage produced last step, while the design stage (pipe
+index 1) — concurrently, on its own chip — designs the factor for the
+NEXT step. Each stage's product is replicated to the other chip with a
+masked ``psum`` over the pipe axis (an (H·dA)² factor + an (H, dA) mean +
+a scalar, ~66 KB/step — ICI latency, not bandwidth). A single control
+loop's solve rate becomes ``1/max(act, design)`` instead of
+``1/(act + design)``.
+
+Staleness contract (vs. the single-chip speculative mode, which itself
+trades one model step of staleness for the latency cut — covo.py:
+prepare()): the design stage runs concurrently with the mean update it
+cannot see, so it predicts the next state along the PRE-update shifted
+mean rather than the post-update mean — one mean-update of extra
+staleness, and the Σ it designs is centred on the pre-update nominal.
+Quality is gated on the eval protocol like every non-parity mode
+(RESULTS.md); the exact decomposition semantics are pinned against a
+stage-sequential oracle in tests/test_pipeline.py.
+
+There is no counterpart anywhere in the reference (quadjax has no
+distributed machinery at all — SURVEY.md §2); this is a TPU-native
+extension of the reference's CoVO-online controller (quadjax/controllers/
+covo.py:187-283).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh
+from jax.sharding import PartitionSpec as P
+
+from covo_mpc_tpu.models import dynamics
+from covo_mpc_tpu.models.structs import FDIST, VEL
+from covo_mpc_tpu.ops import covariance, reductions, sampling
+from covo_mpc_tpu.ops.hessian import make_hessian_adjoint
+from covo_mpc_tpu.parallel.sharded import make_cost_engine
+from covo_mpc_tpu.utils.vma import pvary
+
+PIPE_AXIS = "pipe"
+
+ACT_STAGE = 0  # pipe index running sample/rollout/update
+DESIGN_STAGE = 1  # pipe index running Hessian + Σ-designer
+
+
+def make_pipeline_mesh(devices=None) -> Mesh:
+    """Two-device mesh with the ``pipe`` axis. Pick two ICI-adjacent chips:
+    the per-step exchange is a latency-bound 66 KB all-reduce."""
+    devices = list(devices if devices is not None else jax.devices())
+    if len(devices) < 2:
+        raise ValueError("the speculative pipeline needs two devices")
+    return Mesh(np.array(devices[:2]), (PIPE_AXIS,))
+
+
+def make_pipeline_step(
+    env,
+    mesh,
+    N: int,
+    H: int,
+    lam: float,
+    sample_sigma: float = 0.5,
+    axis: str = PIPE_AXIS,
+    engine: str = "jnp",
+    interpret: bool = False,
+    rng: str = "invariant",
+    hessian_primal: str | None = None,
+):
+    """Build the pipelined speculative-CoVO control step.
+
+    Returns ``step(x0, t0, pos_traj, vel_traj, a_mean (H, dA),
+    factor (D, D), params, key, gamma_mean=1.0, discount=1.0) ->
+    (a_mean_new (H, dA), factor_next (D, D), min_cost)`` with every input
+    and output replicated across the mesh; the stage split is internal.
+    ``factor`` is the Σ square root designed LAST step (cold start:
+    :func:`make_init_factor`); ``factor_next`` feeds the next call.
+
+    ``engine``/``rng`` select the act stage's rollout/sampler exactly as in
+    :func:`covo_mpc_tpu.parallel.sharded.make_sharded_covo_sample_rollout`
+    ("kernel" draws inside the fused kernel — fastest, TPU only).
+    """
+    if mesh.shape[axis] != 2:
+        raise ValueError(
+            f"the speculative pipeline has exactly two stages; mesh axis "
+            f"{axis!r} has size {mesh.shape[axis]}"
+        )
+    dA = env.action_dim
+    D = H * dA
+    dt = env._dt
+    disturb_fn = env.disturb_fn
+
+    if rng == "kernel":
+        if engine != "pallas":
+            raise ValueError("rng='kernel' requires engine='pallas'")
+        from covo_mpc_tpu.ops.rollout_pallas import (
+            make_pallas_rollout_joint_sampling,
+        )
+
+        fused = make_pallas_rollout_joint_sampling(env, interpret=interpret)
+    else:
+        fused = None
+    rollout = make_cost_engine(env, engine, interpret)
+    transposed = engine == "pallas"  # kernel-layout sampling (see sharded.py)
+    primal = hessian_primal or (
+        "pallas_interpret" if engine == "pallas" and interpret
+        else "pallas" if engine == "pallas"
+        else "scan"
+    )
+    hess = make_hessian_adjoint(env, H, primal=primal)
+
+    def local_step(x0, t0, pos_traj, vel_traj, a_mean, factor, params, key,
+                   gamma_mean, discount):
+        stage = lax.axis_index(axis)
+        vary = (axis,)
+        # receding-horizon shift, shared by both stages (reference:
+        # covo.py:201-203); key chain mirrors CoVOSolver.act/prepare
+        mean = jnp.concatenate([a_mean[1:], a_mean[-1:]])
+        mean_flat = mean.reshape(-1)
+        k_act, k_step, k_prep = jax.random.split(key, 3)
+
+        def act_branch(_):
+            # CoVOSolver.act semantics on the full N (sample/rollout/update
+            # with LAST step's factor); math shared with the sharded cores
+            if fused is not None:
+                costs, a_local = fused(
+                    x0, t0, pos_traj, vel_traj, mean, factor, params,
+                    k_step, k_act, N, deterministic=True, discount=discount,
+                    vma=vary,
+                )
+            else:
+                sampler = (
+                    sampling.sample_joint_t if transposed
+                    else sampling.sample_joint
+                )
+                a_local = jnp.clip(
+                    sampler(k_act, mean_flat, factor, N,
+                            mode=sampling.INVARIANT,
+                            sample_ids=jnp.arange(N)),
+                    -1.0, 1.0,
+                )
+                if not transposed:
+                    a_local = a_local.reshape(N, H, dA)
+                costs = rollout(
+                    x0, t0, pos_traj, vel_traj, a_local, params, k_step,
+                    True, discount, vary,
+                    layout="hdn" if transposed else "nhd",
+                )
+            min_cost = jnp.min(costs)
+            unnorm, norm = reductions.weights_from_stats(costs, min_cost, lam)
+            weight = unnorm / norm
+            if transposed:
+                if a_local.ndim == 2:  # joint (D, N) layout
+                    mean_new = jnp.einsum("n,dn->d", weight, a_local).reshape(
+                        H, dA
+                    )
+                else:  # (H, dA, N)
+                    mean_new = jnp.einsum("n,hdn->hd", weight, a_local)
+            else:
+                mean_new = jnp.einsum("n,nhd->hd", weight, a_local)
+            a_new = mean_new * gamma_mean + mean * (1.0 - gamma_mean)
+            return a_new, pvary(jnp.zeros((D, D), factor.dtype), vary), min_cost
+
+        def design_branch(_):
+            # predict the next state one deterministic model step along the
+            # shifted (pre-update) mean — the concurrent analogue of
+            # CoVOSolver.prepare, which uses the post-update mean
+            det = params.replace(dyn_noise_scale=0.0)
+            a0 = jnp.clip(mean[0], -1.0, 1.0)
+            u, _ = dynamics.control_to_thrust_omega(a0, det)
+            x1 = dynamics.bodyrate_step(x0, u, det, dt)
+            f1 = disturb_fn(
+                dynamics.derive_dynamics_keys(k_prep), det, t0,
+                x0[..., VEL], x0[..., FDIST],
+            )
+            x1 = x1.at[..., FDIST].set(f1)
+            nominal = jnp.concatenate([mean[1:], mean[-1:]])
+            R = hess(
+                nominal.reshape(-1), x1, t0 + 1, pos_traj, vel_traj,
+                params, k_prep,
+            )
+            _, f_next = covariance.optimize_sigma_ns(R, sample_sigma, D)
+            return (
+                pvary(jnp.zeros((H, dA), a_mean.dtype), vary),
+                f_next,
+                pvary(jnp.zeros((), jnp.float32), vary),
+            )
+
+        # both branches' outputs must agree in varying-manual-axes; each
+        # stage's real product is computed from replicated inputs (hence
+        # unvarying) while its placeholder was pvary'd — promote uniformly
+        def _vary_out(branch):
+            return lambda op: jax.tree.map(
+                lambda x: pvary(x, vary), branch(op)
+            )
+
+        a_new, f_next, min_cost = lax.cond(
+            stage == ACT_STAGE, _vary_out(act_branch),
+            _vary_out(design_branch), None,
+        )
+        # replicate each stage's product to the other chip: a masked psum
+        # over the two-element pipe axis is one tiny all-reduce AND lets
+        # shard_map prove the outputs replicated (out_specs=P())
+        is_act = (stage == ACT_STAGE).astype(a_new.dtype)
+        a_out = lax.psum(a_new * is_act, axis)
+        mc_out = lax.psum(min_cost * (stage == ACT_STAGE), axis)
+        f_out = lax.psum(f_next * (1.0 - is_act), axis)
+        return a_out, f_out, mc_out
+
+    def step(x0, t0, pos_traj, vel_traj, a_mean, factor, params, key,
+             gamma_mean=1.0, discount=1.0):
+        args = (x0, t0, pos_traj, vel_traj, a_mean, factor, params, key,
+                gamma_mean, discount)
+        return jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=jax.tree.map(lambda _: P(), args),
+            out_specs=(P(), P(), P()),
+            # see sharded.py: the interpret-mode pallas evaluator trips
+            # strict vma checking; the compiled TPU path keeps the check
+            check_vma=not (engine == "pallas" and interpret),
+        )(*args)
+
+    return step
+
+
+def make_init_factor(env, H: int, sample_sigma: float = 0.5,
+                     hessian_primal: str = "scan"):
+    """Cold-start Σ factor for :func:`make_pipeline_step` — designed at the
+    reset state around the shifted nominal, exactly like the single-chip
+    speculative mode's reset (solvers/covo.py CoVOSolver.reset)."""
+    dA = env.action_dim
+    D = H * dA
+    hess = make_hessian_adjoint(env, H, primal=hessian_primal)
+
+    @jax.jit
+    def init_factor(x0, t0, pos_traj, vel_traj, a_mean, params, key):
+        nominal = jnp.concatenate([a_mean[1:], a_mean[-1:]])
+        R = hess(nominal.reshape(-1), x0, t0, pos_traj, vel_traj, params, key)
+        _, factor = covariance.optimize_sigma_ns(R, sample_sigma, D)
+        return factor
+
+    return init_factor

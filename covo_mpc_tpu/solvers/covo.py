@@ -201,7 +201,9 @@ class CoVOSolver(BaseSolver):
         critical path: in a deployed control loop it runs in the idle time
         after the action is sent (at 50 Hz, ~19.7 ms of idle vs ~0.15 ms of
         design work); on a device mesh it is the second stage of a
-        two-stage pipeline. The Σ is one model step stale — quality sits
+        two-stage pipeline (parallel/pipeline.make_pipeline_step — act and
+        design overlapped on two chips). The Σ is one model step stale —
+        quality sits
         between covo_online (exact state) and covo_offline (whole schedule
         precomputed), gated on the 40-episode protocol in RESULTS.md.
         """

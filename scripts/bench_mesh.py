@@ -67,6 +67,10 @@ def parse_args():
                          "global-id draws; kernel = in-kernel TPU-PRNG "
                          "draw per shard (pallas engine only — fastest, "
                          "not resharding-invariant)")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="also bench the two-stage speculative pipeline "
+                         "(act + Σ-design on separate chips, "
+                         "parallel/pipeline.py) on the first two devices")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (plumbing smoke test; pair "
                          "with XLA_FLAGS=--xla_force_host_platform_device_"
@@ -246,6 +250,76 @@ def bench_scenario_dp(env, args, n_chips, B):
     return rows
 
 
+def bench_pipeline(env, args):
+    """Latency pipelining: one control loop's solve rate with act and
+    Σ-design overlapped on two chips — 1/max(act, design) instead of the
+    single-chip speculative's 1/(act + design) (parallel/pipeline.py)."""
+    from covo_mpc_tpu.models.structs import pack_state
+    from covo_mpc_tpu.parallel import (
+        make_init_factor,
+        make_pipeline_mesh,
+        make_pipeline_step,
+    )
+    from covo_mpc_tpu.runtime.profiling import time_slope
+    from covo_mpc_tpu.solvers import hover_sequence
+
+    params = env.default_params
+    _, _, state = env.reset_env(jax.random.PRNGKey(0), params)
+    x0 = pack_state(state)
+    a_mean0 = hover_sequence(env, args.h)
+    engine, interpret = resolve_engine(args.engine, args.n)
+    rng_mode = args.rng if engine == "pallas" else "invariant"
+    mesh = make_pipeline_mesh(jax.devices()[:2])
+    step = make_pipeline_step(
+        env, mesh, N=args.n, H=args.h, lam=args.lam,
+        engine=engine, interpret=interpret, rng=rng_mode,
+    )
+    factor0 = make_init_factor(
+        env, args.h,
+        hessian_primal="pallas_interpret" if interpret
+        else "pallas" if engine == "pallas" else "scan",
+    )(x0, state.time, state.pos_traj, state.vel_traj, a_mean0, params,
+      jax.random.PRNGKey(4))
+
+    def make_run(length):
+        def one(carry, _):
+            a_mean, factor, rng = carry
+            rng, sub = jax.random.split(rng)
+            a_mean, factor, mc = step(
+                x0, state.time, state.pos_traj, state.vel_traj,
+                a_mean, factor, params, sub,
+            )
+            return (a_mean, factor, rng), mc
+
+        @jax.jit
+        def run(i):
+            key = jax.random.fold_in(jax.random.PRNGKey(5), i)
+            (a, f, _), outs = lax.scan(
+                one, (a_mean0, factor0, key), None, length=length
+            )
+            return jnp.sum(a) + jnp.sum(f) + jnp.sum(outs)
+
+        return run
+
+    per_step, overhead = time_slope(make_run, k=args.k)
+    row = {
+        "axis": "pipe",
+        "chips": 2,
+        "rng": rng_mode,
+        "engine": engine + ("/interpret" if interpret else ""),
+        "ms_per_step": per_step * 1e3,
+        "solves_per_s": 1.0 / per_step,
+    }
+    print(
+        f"[mesh] covo speculative pipeline N={args.n} H={args.h} chips=2 "
+        f"({row['engine']}): {per_step*1e3:7.3f} ms/step -> "
+        f"{1.0/per_step:8.1f} solves/s "
+        f"(dispatch overhead {overhead*1e3:.1f} ms)",
+        file=sys.stderr,
+    )
+    return [row]
+
+
 def main():
     args = parse_args()
     if args.cpu:
@@ -282,6 +356,13 @@ def main():
     if args.scenarios:
         B = args.b or args.scenarios
         rows += bench_scenario_dp(env, args, args.scenarios, B)
+
+    if args.pipeline:
+        if n_dev < 2:
+            print("[mesh] --pipeline needs two devices; skipping",
+                  file=sys.stderr)
+        else:
+            rows += bench_pipeline(env, args)
 
     for r in rows:
         print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
