@@ -603,9 +603,15 @@ class TestSpeculative:
         with pytest.raises(ValueError, match="speculative"):
             onl.prepare(state, params, cp, jax.random.PRNGKey(1))
 
+    @pytest.mark.slow
     def test_kernel_layout_engine(self):
         """speculative + pallas_interpret + in-kernel-rng layout runs and
-        stays in range (the production single-chip fast path)."""
+        stays in range (the production single-chip fast path).
+
+        slow tier (91 s): the speculative mode itself is pinned in the
+        quick tier by test_matches_online_when_prediction_exact and
+        test_act_prepare_equals_call; the kernel-rng engine by
+        test_pallas_rollout.test_solver_kernel_rng_mode."""
         env = make_env()
         spec, cp = get_solver(
             env, "covo_speculative", "N1024_H8_lam0.01",

@@ -356,9 +356,14 @@ def test_joint_sampling_kernel_matches_plain_kernel():
                                atol=2e-4, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_covo_solver_kernel_rng_mode():
     """CoVOSolver(engine=pallas_interpret, rng_mode='kernel') solves with
-    the fused joint-sampling path and produces finite, in-range output."""
+    the fused joint-sampling path and produces finite, in-range output.
+
+    slow tier (102 s): the in-kernel-rng solver path stays covered in the
+    quick tier by test_solver_kernel_rng_mode (MPPI) and the joint kernel
+    by test_joint_sampling_kernel_matches_plain_kernel."""
     from covo_mpc_tpu.ops import sampling
     from covo_mpc_tpu.solvers import get_solver
 

@@ -135,7 +135,11 @@ def test_pipeline_closed_loop_tracks(setup):
     assert float(err) < 0.5, f"pipeline diverged: err_pos={float(err)}"
 
 
+@pytest.mark.slow
 def test_pipeline_pallas_interpret_matches_jnp(setup):
+    """slow tier: compiles both engines' pipeline steps; the jnp pipeline
+    is pinned against the oracle in the quick tier and the fused kernel
+    against the jnp engine in test_pallas_rollout."""
     env, params, state = setup
     mesh = make_pipeline_mesh(jax.devices()[:2])
     a_mean = hover_sequence(env, H)

@@ -221,9 +221,14 @@ def test_device_topology():
     assert topo["process_count"] == 1
 
 
+@pytest.mark.slow
 def test_batched_covo_solve_matches_per_scenario(setup):
     """Scenario-batched CoVO-online solve (the per-chip block of the pod
-    config) == the same math run one scenario at a time."""
+    config) == the same math run one scenario at a time.
+
+    slow tier: heaviest quick-tier test (118 s); the batched kernel is
+    also pinned by test_pallas_rollout.test_batched_kernel_matches_jnp
+    and test_batched_solve_kernel_rng."""
     from covo_mpc_tpu.ops.hessian import make_hessian_adjoint
     from covo_mpc_tpu.ops.rollout_pallas import make_pallas_rollout
     from covo_mpc_tpu.parallel.scenarios import make_batched_covo_solve
