@@ -83,7 +83,10 @@ def build_hessian_disturb_table(env: QuadEnv, x0, t0, params, key, H: int):
     # dyn_noise_scale=0, "none" is zero, and "sin" is a closed form in time.
     # Only "periodic" (key-chained uniforms) needs the scan.
     if env.config.disturb_type in ("gaussian", "none"):
-        return jnp.concatenate([f0[None], jnp.zeros((H - 1, 3), x0.dtype)], axis=0)
+        # the zeros must match f0's varying-manual-axes when the Hessian
+        # runs inside shard_map (e.g. parallel/pipeline.py's design stage)
+        zeros = match_vma(jnp.zeros((H - 1, 3), x0.dtype), f0)
+        return jnp.concatenate([f0[None], zeros], axis=0)
     if env.config.disturb_type == "sin":
         times = t0 + jnp.arange(H - 1)
         fs = jax.vmap(lambda t: disturb_fn(key, params, t, None, f0))(times)
@@ -241,8 +244,11 @@ def make_hessian_adjoint(
         rew = lambda s, pt, vt: _reward13(s, pt, vt, reward_name)
 
         # 1) primal rollout, collecting z_h = (s_h, a_h)
+        # kernels inside shard_map must declare the mesh axes their output
+        # varies over (check_vma) — derive them from the inputs
+        vary = tuple(getattr(jax.typeof(x0), "vma", frozenset()))
         if pallas_primal is not None:
-            zs = pallas_primal(x0, a_seq, dist, params)  # (H, 17)
+            zs = pallas_primal(x0, a_seq, dist, params, vma=vary)  # (H, 17)
         else:
 
             def prim(s, inp):
@@ -289,7 +295,7 @@ def make_hessian_adjoint(
 
         if tail_pullback is not None:
             # 3/6 fused: chained T_h and the pullback in one kernel
-            return -tail_pullback(J, M)
+            return -tail_pullback(J, M, vma=vary)
 
         # 3) forward first-order sensitivities: T_h = [S1_h; E_h]
         def fwd(S1, inp):

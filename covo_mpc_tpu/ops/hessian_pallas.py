@@ -88,7 +88,9 @@ def make_tail_pullback(H: int, dA: int, interpret: bool = False):
     L = -(-D // 128) * 128
     hi = jax.lax.Precision.HIGHEST
 
-    def tail(J, M):
+    def tail(J, M, vma=()):
+        # ``vma``: mesh axes the output varies over — required when the
+        # kernel runs inside shard_map under check_vma (see rollout_pallas)
         Z = J.shape[-1]  # 17 = 13 + dA
         assert Z == _SD + dA and dA <= _ZB - _AB
         # J rows (13 outputs) -> 16-row bank; cols -> 24-col bank
@@ -97,7 +99,10 @@ def make_tail_pullback(H: int, dA: int, interpret: bool = False):
             functools.partial(_chain_kernel, H=H, dA=dA),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((H * _ZB, L), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct(
+                (H * _ZB, L), jnp.float32,
+                **({"vma": frozenset(vma)} if vma else {}),
+            ),
             interpret=interpret,
         )(J_bank.reshape(H * _AB, _ZB).astype(jnp.float32))
         T_bank = T_bank.reshape(H, _ZB, L)

@@ -1076,7 +1076,10 @@ def make_pallas_primal(env: QuadEnv, H: int, interpret: bool = False):
     tests/test_covo.py).
     """
 
-    def primal(x0, a_seq, dist, params):
+    def primal(x0, a_seq, dist, params, vma=()):
+        # ``vma``: mesh axes the output varies over — required when the
+        # kernel runs inside shard_map under check_vma (e.g. the design
+        # stage of parallel/pipeline.py)
         scal = jnp.stack(
             [
                 params.m, params.g, jnp.float32(env._dt), params.alpha_bodyrate,
@@ -1094,7 +1097,10 @@ def make_pallas_primal(env: QuadEnv, H: int, interpret: bool = False):
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # disturb table
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((H * 13, 128), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct(
+                (H * 13, 128), jnp.float32,
+                **({"vma": frozenset(vma)} if vma else {}),
+            ),
             interpret=interpret,
         )(
             x0[:16].astype(jnp.float32),

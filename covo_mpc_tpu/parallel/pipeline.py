@@ -41,9 +41,9 @@ from jax.sharding import PartitionSpec as P
 
 from covo_mpc_tpu.models import dynamics
 from covo_mpc_tpu.models.structs import FDIST, VEL
-from covo_mpc_tpu.ops import covariance, reductions, sampling
+from covo_mpc_tpu.ops import covariance
 from covo_mpc_tpu.ops.hessian import make_hessian_adjoint
-from covo_mpc_tpu.parallel.sharded import make_cost_engine
+from covo_mpc_tpu.parallel.sharded import make_covo_local_core
 from covo_mpc_tpu.utils.vma import pvary
 
 PIPE_AXIS = "pipe"
@@ -97,18 +97,8 @@ def make_pipeline_step(
     dt = env._dt
     disturb_fn = env.disturb_fn
 
-    if rng == "kernel":
-        if engine != "pallas":
-            raise ValueError("rng='kernel' requires engine='pallas'")
-        from covo_mpc_tpu.ops.rollout_pallas import (
-            make_pallas_rollout_joint_sampling,
-        )
-
-        fused = make_pallas_rollout_joint_sampling(env, interpret=interpret)
-    else:
-        fused = None
-    rollout = make_cost_engine(env, engine, interpret)
-    transposed = engine == "pallas"  # kernel-layout sampling (see sharded.py)
+    act_core = make_covo_local_core(env, H, lam, engine=engine,
+                                    interpret=interpret, rng=rng)
     primal = hessian_primal or (
         "pallas_interpret" if engine == "pallas" and interpret
         else "pallas" if engine == "pallas"
@@ -119,72 +109,53 @@ def make_pipeline_step(
     def local_step(x0, t0, pos_traj, vel_traj, a_mean, factor, params, key,
                    gamma_mean, discount):
         stage = lax.axis_index(axis)
-        vary = (axis,)
+        # the mesh axes per-device values vary over: {pipe} under
+        # check_vma, empty in interpret mode (check_vma=False)
+        vary = tuple(getattr(jax.typeof(stage), "vma", frozenset()))
         # receding-horizon shift, shared by both stages (reference:
-        # covo.py:201-203); key chain mirrors CoVOSolver.act/prepare
+        # covo.py:201-203). Key derivation is this mode's own 3-way split
+        # (NOT CoVOSolver.act/prepare's chain — the pipeline is a distinct
+        # non-parity mode whose quality is eval-gated, so the streams only
+        # need to be disjoint)
         mean = jnp.concatenate([a_mean[1:], a_mean[-1:]])
         mean_flat = mean.reshape(-1)
         k_act, k_step, k_prep = jax.random.split(key, 3)
 
         def act_branch(_):
             # CoVOSolver.act semantics on the full N (sample/rollout/update
-            # with LAST step's factor); math shared with the sharded cores
-            if fused is not None:
-                costs, a_local = fused(
-                    x0, t0, pos_traj, vel_traj, mean, factor, params,
-                    k_step, k_act, N, deterministic=True, discount=discount,
-                    vma=vary,
-                )
-            else:
-                sampler = (
-                    sampling.sample_joint_t if transposed
-                    else sampling.sample_joint
-                )
-                a_local = jnp.clip(
-                    sampler(k_act, mean_flat, factor, N,
-                            mode=sampling.INVARIANT,
-                            sample_ids=jnp.arange(N)),
-                    -1.0, 1.0,
-                )
-                if not transposed:
-                    a_local = a_local.reshape(N, H, dA)
-                costs = rollout(
-                    x0, t0, pos_traj, vel_traj, a_local, params, k_step,
-                    True, discount, vary,
-                    layout="hdn" if transposed else "nhd",
-                )
-            min_cost = jnp.min(costs)
-            unnorm, norm = reductions.weights_from_stats(costs, min_cost, lam)
-            weight = unnorm / norm
-            if transposed:
-                if a_local.ndim == 2:  # joint (D, N) layout
-                    mean_new = jnp.einsum("n,dn->d", weight, a_local).reshape(
-                        H, dA
-                    )
-                else:  # (H, dA, N)
-                    mean_new = jnp.einsum("n,hdn->hd", weight, a_local)
-            else:
-                mean_new = jnp.einsum("n,nhd->hd", weight, a_local)
-            a_new = mean_new * gamma_mean + mean * (1.0 - gamma_mean)
+            # with LAST step's factor) — the shared single-shard core,
+            # reduced locally (axis=None: the act stage holds all N)
+            a_new, min_cost = act_core(
+                x0, t0, pos_traj, vel_traj, mean_flat, factor,
+                gamma_mean, discount, params, k_act, k_step,
+                n_local=N, ids=jnp.arange(N),
+                shard_key=pvary(k_act, vary), vary=vary, axis=None,
+            )
             return a_new, pvary(jnp.zeros((D, D), factor.dtype), vary), min_cost
 
         def design_branch(_):
             # predict the next state one deterministic model step along the
             # shifted (pre-update) mean — the concurrent analogue of
-            # CoVOSolver.prepare, which uses the post-update mean
-            det = params.replace(dyn_noise_scale=0.0)
-            a0 = jnp.clip(mean[0], -1.0, 1.0)
+            # CoVOSolver.prepare, which uses the post-update mean. Inputs
+            # are promoted to the stage's vma up front so the Hessian's
+            # pallas primal declares the vma check_vma demands.
+            x0_v, t0_v, pt_v, vt_v, mean_v, params_v, k_v = jax.tree.map(
+                lambda x: pvary(x, vary),
+                (x0, t0, pos_traj, vel_traj, mean, params, k_prep),
+            )
+            det = params_v.replace(dyn_noise_scale=0.0)
+            a0 = jnp.clip(mean_v[0], -1.0, 1.0)
             u, _ = dynamics.control_to_thrust_omega(a0, det)
-            x1 = dynamics.bodyrate_step(x0, u, det, dt)
+            x1 = dynamics.bodyrate_step(x0_v, u, det, dt)
             f1 = disturb_fn(
-                dynamics.derive_dynamics_keys(k_prep), det, t0,
-                x0[..., VEL], x0[..., FDIST],
+                dynamics.derive_dynamics_keys(k_v), det, t0_v,
+                x0_v[..., VEL], x0_v[..., FDIST],
             )
             x1 = x1.at[..., FDIST].set(f1)
-            nominal = jnp.concatenate([mean[1:], mean[-1:]])
+            nominal = jnp.concatenate([mean_v[1:], mean_v[-1:]])
             R = hess(
-                nominal.reshape(-1), x1, t0 + 1, pos_traj, vel_traj,
-                params, k_prep,
+                nominal.reshape(-1), x1, t0_v + 1, pt_v, vt_v,
+                params_v, k_v,
             )
             _, f_next = covariance.optimize_sigma_ns(R, sample_sigma, D)
             return (

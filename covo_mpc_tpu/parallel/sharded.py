@@ -212,6 +212,102 @@ def make_sharded_mppi_solve(env, mesh, N: int, H: int, lam: float,
     return solve
 
 
+def make_covo_local_core(env, H: int, lam: float, engine: str = "jnp",
+                         interpret: bool = False, rng: str = "invariant"):
+    """One shard's CoVO sample→rollout→reduce→update body — the single
+    definition consumed by :func:`make_sharded_covo_sample_rollout`
+    (collectives over a sample axis) and the pipeline's act stage
+    (:mod:`covo_mpc_tpu.parallel.pipeline`, no sample sharding).
+
+    Returns ``local(x0, t0, pos_traj, vel_traj, mean_flat, factor,
+    gamma_mean, discount, params, act_key, step_key, *, n_local, ids,
+    shard_key, vary, axis=None) -> (a_mean_new (H, dA), min_cost)`` where
+
+      * ``ids`` are this shard's GLOBAL sample indices (invariant sampler),
+      * ``shard_key`` seeds the in-kernel draw (``rng="kernel"``),
+      * ``vary`` are the mesh axes the per-device values vary over
+        (promotions for check_vma; empty off-shard_map / in interpret),
+      * ``axis`` is the collective axis — ``None`` reduces locally (the
+        whole sample batch lives on this device).
+    """
+    if rng == "kernel":
+        if engine != "pallas":
+            raise ValueError("rng='kernel' requires engine='pallas'")
+        from covo_mpc_tpu.ops.rollout_pallas import (
+            make_pallas_rollout_joint_sampling,
+        )
+
+        fused = make_pallas_rollout_joint_sampling(env, interpret=interpret)
+    else:
+        fused = None
+    rollout = make_cost_engine(env, engine, interpret)
+    dA = env.action_dim
+    # kernel-layout sampling on the fast path (see make_sharded_mppi_solve)
+    transposed = engine == "pallas"
+
+    def local(x0, t0, pos_traj, vel_traj, mean_flat, factor,
+              gamma_mean, discount, params, act_key, step_key, *,
+              n_local, ids, shard_key, vary, axis=None):
+        H_ = mean_flat.shape[0] // dA
+        if fused is not None:
+            # fused sample+rollout: promote the replicated inputs to the
+            # vma the outputs carry (see make_cost_engine)
+            x0_v, t0_v, pt_v, vt_v, mean_v, fac_v, params_v, sk_v = (
+                jax.tree.map(
+                    lambda x: pvary(x, vary),
+                    (x0, t0, pos_traj, vel_traj, mean_flat, factor, params,
+                     step_key),
+                )
+            )
+            costs, a_local = fused(
+                x0_v, t0_v, pt_v, vt_v, mean_v.reshape(H_, dA), fac_v,
+                params_v, sk_v, shard_key, n_local,
+                deterministic=True, discount=pvary(discount, vary), vma=vary,
+            )
+        else:
+            if transposed:
+                a_local = jnp.clip(  # (D, n_local), kernel layout
+                    sampling.sample_joint_t(
+                        act_key, mean_flat, factor, n_local,
+                        mode=sampling.INVARIANT, sample_ids=ids,
+                    ),
+                    -1.0, 1.0,
+                )
+            else:
+                a_flat = sampling.sample_joint(
+                    act_key, mean_flat, factor, n_local,
+                    mode=sampling.INVARIANT, sample_ids=ids,
+                )
+                a_local = jnp.clip(a_flat.reshape(n_local, H_, dA), -1.0, 1.0)
+            # when ids carry no axis_index dependence (pipeline act stage)
+            # the samples come out unvarying — promote so the pallas
+            # engine declares the vma check_vma demands
+            a_local = pvary(a_local, vary)
+            costs = rollout(
+                x0, t0, pos_traj, vel_traj, a_local, params, step_key,
+                True, discount, vary,
+                layout="hdn" if transposed else "nhd",
+            )
+
+        local_min = jnp.min(costs)
+        min_cost = lax.pmin(local_min, axis) if axis else local_min
+        unnorm, local_norm = reductions.weights_from_stats(costs, min_cost, lam)
+        norm = lax.psum(local_norm, axis) if axis else local_norm
+        weight = unnorm / norm
+
+        if transposed:
+            mean_local = jnp.einsum("n,dn->d", weight, a_local).reshape(H_, dA)
+        else:
+            mean_local = jnp.einsum("n,nhd->hd", weight, a_local)
+        mean_total = lax.psum(mean_local, axis) if axis else mean_local
+        a_mean_new = mean_total * gamma_mean + mean_flat.reshape(
+            H_, dA
+        ) * (1.0 - gamma_mean)
+        return a_mean_new, min_cost
+
+    return local
+
+
 def make_sharded_covo_sample_rollout(env, mesh, N: int, H: int, lam: float,
                                      axis: str = SAMPLE_AXIS,
                                      engine: str = "jnp",
@@ -239,77 +335,23 @@ def make_sharded_covo_sample_rollout(env, mesh, N: int, H: int, lam: float,
     if N % n_shards:
         raise ValueError(f"N={N} not divisible by {n_shards} shards")
     n_local = N // n_shards
-    if rng == "kernel":
-        if engine != "pallas":
-            raise ValueError("rng='kernel' requires engine='pallas'")
-        from covo_mpc_tpu.ops.rollout_pallas import (
-            make_pallas_rollout_joint_sampling,
-        )
-
-        fused = make_pallas_rollout_joint_sampling(env, interpret=interpret)
-    else:
-        fused = None
-    rollout = make_cost_engine(env, engine, interpret)
-    dA = env.action_dim
-    # see make_sharded_mppi_solve: kernel-layout sampling on the fast path
-    transposed = engine == "pallas"
+    core = make_covo_local_core(env, H, lam, engine=engine,
+                                interpret=interpret, rng=rng)
 
     def local_solve(x0, t0, pos_traj, vel_traj, mean_flat, factor,
                     gamma_mean, discount, params, act_key, step_key):
         shard = lax.axis_index(axis)
         ids = shard * n_local + jnp.arange(n_local)
-        if fused is not None:
-            # fused sample+rollout per shard: disjoint streams via the
-            # shard-folded key; promote the replicated inputs to the
-            # shard-varying vma the outputs carry (see make_cost_engine)
-            shard_key = jax.random.fold_in(act_key, shard)
-            vary = tuple(getattr(jax.typeof(shard_key), "vma", frozenset()))
-            x0_v, t0_v, pt_v, vt_v, mean_v, fac_v, params_v, sk_v = (
-                jax.tree.map(
-                    lambda x: pvary(x, vary),
-                    (x0, t0, pos_traj, vel_traj, mean_flat, factor, params,
-                     step_key),
-                )
-            )
-            costs, a_local = fused(
-                x0_v, t0_v, pt_v, vt_v, mean_v.reshape(H, dA), fac_v,
-                params_v, sk_v, shard_key, n_local,
-                deterministic=True, discount=pvary(discount, vary), vma=vary,
-            )
-        elif transposed:
-            a_local = jnp.clip(  # (D, n_local), kernel layout
-                sampling.sample_joint_t(
-                    act_key, mean_flat, factor, n_local,
-                    mode=sampling.INVARIANT, sample_ids=ids,
-                ),
-                -1.0, 1.0,
-            )
-        else:
-            a_flat = sampling.sample_joint(
-                act_key, mean_flat, factor, n_local,
-                mode=sampling.INVARIANT, sample_ids=ids,
-            )
-            a_local = jnp.clip(a_flat.reshape(n_local, H, dA), -1.0, 1.0)
-
-        if fused is None:
-            costs = rollout(
-                x0, t0, pos_traj, vel_traj, a_local, params, step_key,
-                True, discount, (axis,),
-                layout="hdn" if transposed else "nhd",
-            )
-
-        min_cost = lax.pmin(jnp.min(costs), axis)
-        unnorm, local_norm = reductions.weights_from_stats(costs, min_cost, lam)
-        weight = unnorm / lax.psum(local_norm, axis)
-
-        if transposed:
-            mean_local = jnp.einsum("n,dn->d", weight, a_local).reshape(H, dA)
-        else:
-            mean_local = jnp.einsum("n,nhd->hd", weight, a_local)
-        a_mean_new = lax.psum(mean_local, axis) * gamma_mean + mean_flat.reshape(
-            H, dA
-        ) * (1.0 - gamma_mean)
-        return a_mean_new, min_cost
+        # disjoint in-kernel streams via the shard-folded key; its vma is
+        # the shard-varying set every per-device value carries
+        shard_key = jax.random.fold_in(act_key, shard)
+        vary = tuple(getattr(jax.typeof(shard_key), "vma", frozenset()))
+        return core(
+            x0, t0, pos_traj, vel_traj, mean_flat, factor,
+            gamma_mean, discount, params, act_key, step_key,
+            n_local=n_local, ids=ids, shard_key=shard_key, vary=vary,
+            axis=axis,
+        )
 
     def solve(x0, t0, pos_traj, vel_traj, mean_flat, factor,
               gamma_mean, discount, params, act_key, step_key):

@@ -164,6 +164,55 @@ def test_pipeline_pallas_interpret_matches_jnp(setup):
     np.testing.assert_allclose(f_p, f_j, atol=1e-4)
 
 
+def test_pipeline_pallas_compiled_traces_under_check_vma(setup):
+    """Regression: the compiled-TPU configuration (engine='pallas',
+    interpret=False, check_vma=True) must TRACE — the pallas primal and
+    the per-shard rollout kernel have to declare the vma shard_map's
+    check demands (jax.eval_shape exercises exactly that without needing
+    mosaic or a TPU)."""
+    env, params, state = setup
+    mesh = make_pipeline_mesh(jax.devices()[:2])
+    a_mean = hover_sequence(env, H)
+    x0 = pack_state(state)
+    factor = jnp.eye(H * env.action_dim) * 0.5
+    for rng in ("invariant", "kernel"):
+        step = make_pipeline_step(
+            env, mesh, N=64, H=H, lam=LAM, sample_sigma=SIGMA,
+            engine="pallas", interpret=False, rng=rng,
+        )
+        out = jax.eval_shape(
+            step, x0, state.time, state.pos_traj, state.vel_traj,
+            a_mean, factor, params, jax.random.PRNGKey(1),
+        )
+        assert out[0].shape == (H, env.action_dim), rng
+        assert out[1].shape == factor.shape, rng
+
+
+def test_pipeline_kernel_rng_interpret_runs(setup):
+    """The fused in-kernel-draw act stage (rng='kernel') executes in
+    interpret mode and stays finite/in-range."""
+    env, params, state = setup
+    mesh = make_pipeline_mesh(jax.devices()[:2])
+    step = make_pipeline_step(
+        env, mesh, N=N, H=H, lam=LAM, sample_sigma=SIGMA,
+        engine="pallas", interpret=True, rng="kernel",
+    )
+    a_mean = hover_sequence(env, H)
+    x0 = pack_state(state)
+    key0, key1 = jax.random.split(jax.random.PRNGKey(9))
+    factor = make_init_factor(env, H, SIGMA)(
+        x0, state.time, state.pos_traj, state.vel_traj, a_mean, params, key0
+    )
+    a_new, f_next, mc = step(
+        x0, state.time, state.pos_traj, state.vel_traj, a_mean, factor,
+        params, key1,
+    )
+    assert bool(jnp.all(jnp.isfinite(a_new)))
+    assert bool(jnp.all(jnp.abs(a_new) <= 1.0 + 1e-6))
+    assert bool(jnp.all(jnp.isfinite(f_next)))
+    assert bool(jnp.isfinite(mc))
+
+
 def test_pipeline_rejects_bad_mesh(setup):
     env, _, _ = setup
     from jax.sharding import Mesh
