@@ -350,16 +350,18 @@ def main():
     pstr = f"N{args.n}_H{args.h}_lam0.01"
     print(f"[bench] device={jax.devices()[0]}", file=sys.stderr)
 
-    def bench_one(controller, engine, sigma_mode="ns", rng_mode=None):
+    def bench_one(controller, engine, sigma_mode="ns", rng_mode=None,
+                  hessian_mode="adjoint"):
         # fast-path config: adjoint Hessian + matmul-only Newton-Schulz
         # Σ-designer (quality pinned vs the eigh path in tests + RESULTS.md);
         # rng "kernel" = in-kernel TPU-PRNG sampling (quality-gated in
-        # RESULTS.md), only meaningful with the pallas engine
+        # RESULTS.md), only meaningful with the pallas engine;
+        # hessian "gn" = Gauss-Newton curvature (quality-gated likewise)
         if rng_mode is None:
             rng_mode = sampling.FAST
         solver, cp = get_solver(
             env, controller, pstr, rng_mode=rng_mode,
-            hessian_mode="adjoint", collect_debug=False,
+            hessian_mode=hessian_mode, collect_debug=False,
             engine=engine, sigma_mode=sigma_mode,
         )
         per_solve, overhead = measure_solve_rate(
@@ -367,6 +369,8 @@ def main():
         )
         rate = 1.0 / per_solve
         tag = f"{engine}+krng" if rng_mode == sampling.KERNEL else engine
+        if hessian_mode != "adjoint":
+            tag = f"{tag}+{hessian_mode}"
         print(
             f"[bench] {controller:12s} engine={tag:6s} N={args.n} H={args.h}: "
             f"{per_solve*1e3:7.3f} ms/solve -> {rate:7.1f} solves/s/chip "
@@ -395,6 +399,7 @@ def main():
         bench_one("mppi", "pallas", rng_mode=sampling.KERNEL)
         bench_one("covo_online", "pallas", rng_mode=sampling.KERNEL)
         bench_one("covo_online", "pallas", sigma_mode="eigh")
+        bench_one("covo_online", "pallas", hessian_mode="gn")
         bench_covo_offline(env, args, k=args.k)
         bench_speculative(env, args, k=args.k)
         if args.engine == "pallas":  # in-kernel draw needs the fused kernel

@@ -173,7 +173,8 @@ def make_hessian_sensitivity(env: QuadEnv, H: int):
 
 
 def make_hessian_adjoint(
-    env: QuadEnv, H: int, primal: str = "scan", tail: str = "xla"
+    env: QuadEnv, H: int, primal: str = "scan", tail: str = "xla",
+    second_order: bool = True,
 ):
     """Exact Hessian via the second-order adjoint (costate) identity.
 
@@ -201,6 +202,20 @@ def make_hessian_adjoint(
     sequential forward-sensitivity chain + quadratic pullback, H dependent
     tiny matmuls) as one fused kernel (ops/hessian_pallas.py). The backward
     costate and M stay in XLA either way.
+
+    ``second_order=False`` is the GAUSS–NEWTON approximation
+    (``hessian_mode="gn"``): M_h = J_hᵀ (∇²r)(s_{h+1}) J_h — every
+    second-order dynamics term is dropped (the (13, 17, 17) per-step
+    dynamics Hessian, the reward-gradient pullback through it, and the
+    whole backward costate scan), leaving only first-order Jacobians and
+    the tiny (13, 13) reward Hessians. Exact iff the dynamics are linear;
+    on the quadrotor the quaternion/trig curvature it ignores is
+    second-order in the action perturbation, and Σ design only shapes the
+    SAMPLING distribution, not the optimum — quality is gated on the eval
+    protocol like every non-parity mode. (First-order-only curvature for
+    sampling MPC is the pattern in the retrieved Gauss–Newton-accelerated
+    MPPI literature, PAPERS.md; no reference counterpart —
+    quadjax/controllers/covo.py:183-185 is always exact.)
     """
     if env.config.disturb_type in ("drag", "mixed"):
         raise NotImplementedError(
@@ -258,40 +273,58 @@ def make_hessian_adjoint(
 
             _, zs = lax.scan(prim, x0[:_SD], (a_seq, dist), unroll=True)  # (H, 17)
 
-        # 2) local derivatives, batched over the horizon
-        def local_derivs(z, fd, pt, vt):
-            f = lambda zz: step_z(zz, fd)
-            J = jax.jacfwd(f)(z)  # (13, 17) = [A | B]
-            Hf = jax.jacfwd(jax.jacfwd(f))(z)  # (13, 17, 17)
-            g = lambda zz: rew(f(zz), pt, vt)
-            return J, Hf, jax.grad(g)(z), jax.hessian(g)(z)
-
-        J, Hf, grad_g, hess_g = jax.vmap(local_derivs)(zs, dist, ptars, vtars)
         # the last step's reward is constant-trimmed (see make_hessian_cost)
         mask = (jnp.arange(H) < H - 1).astype(jnp.float32)
-        grad_g = grad_g * mask[:, None]
-        hess_g = hess_g * mask[:, None, None]
 
-        # 4) backward costate: mu_j = w_{j+1} + A_{j+1}^T mu_{j+1}
-        # (before step 3 — the fused tail consumes M up front)
-        A_next = J[1:, :, :_SD][::-1]  # A_{j+1} for j = H-2..0
-        w_next = grad_g[1:, :_SD][::-1]
+        if not second_order:
+            # Gauss–Newton: only first-order Jacobians and the (13, 13)
+            # reward Hessian at the post-step state; no dynamics Hessian,
+            # no costate. HIGHEST precision: the default matmul path
+            # bf16-truncates (~7e-3 absolute on a unit-scale Hessian).
+            def local_derivs_gn(z, fd, pt, vt):
+                f = lambda zz: step_z(zz, fd)
+                J = jax.jacfwd(f)(z)  # (13, 17) = [A | B]
+                H_r = jax.hessian(lambda ss: rew(ss, pt, vt))(f(z))
+                return J, H_r
 
-        def bwd(mu, inp):
-            A, w = inp
-            mu = w + A.T @ mu
-            return mu, mu
+            J, H_r = jax.vmap(local_derivs_gn)(zs, dist, ptars, vtars)
+            M = jnp.einsum(
+                "hku,hkl,hlv->huv", J, H_r, J,
+                precision=jax.lax.Precision.HIGHEST,
+            ) * mask[:, None, None]  # (H, 17, 17)
+        else:
+            # 2) local derivatives, batched over the horizon
+            def local_derivs(z, fd, pt, vt):
+                f = lambda zz: step_z(zz, fd)
+                J = jax.jacfwd(f)(z)  # (13, 17) = [A | B]
+                Hf = jax.jacfwd(jax.jacfwd(f))(z)  # (13, 17, 17)
+                g = lambda zz: rew(f(zz), pt, vt)
+                return J, Hf, jax.grad(g)(z), jax.hessian(g)(z)
 
-        _, mus_rev = lax.scan(
-            bwd, match_vma(jnp.zeros(_SD), grad_g), (A_next, w_next),
-            unroll=True,
-        )
-        mus = jnp.concatenate(
-            [mus_rev[::-1], match_vma(jnp.zeros((1, _SD)), mus_rev)], axis=0
-        )
+            J, Hf, grad_g, hess_g = jax.vmap(local_derivs)(zs, dist, ptars, vtars)
+            grad_g = grad_g * mask[:, None]
+            hess_g = hess_g * mask[:, None, None]
 
-        # 5) per-step quadratic forms
-        M = hess_g + jnp.einsum("hk,hkuv->huv", mus, Hf)  # (H, 17, 17)
+            # 4) backward costate: mu_j = w_{j+1} + A_{j+1}^T mu_{j+1}
+            # (before step 3 — the fused tail consumes M up front)
+            A_next = J[1:, :, :_SD][::-1]  # A_{j+1} for j = H-2..0
+            w_next = grad_g[1:, :_SD][::-1]
+
+            def bwd(mu, inp):
+                A, w = inp
+                mu = w + A.T @ mu
+                return mu, mu
+
+            _, mus_rev = lax.scan(
+                bwd, match_vma(jnp.zeros(_SD), grad_g), (A_next, w_next),
+                unroll=True,
+            )
+            mus = jnp.concatenate(
+                [mus_rev[::-1], match_vma(jnp.zeros((1, _SD)), mus_rev)], axis=0
+            )
+
+            # 5) per-step quadratic forms
+            M = hess_g + jnp.einsum("hk,hkuv->huv", mus, Hf)  # (H, 17, 17)
 
         if tail_pullback is not None:
             # 3/6 fused: chained T_h and the pullback in one kernel

@@ -73,6 +73,7 @@ def make_pipeline_step(
     interpret: bool = False,
     rng: str = "invariant",
     hessian_primal: str | None = None,
+    hessian_mode: str = "adjoint",
 ):
     """Build the pipelined speculative-CoVO control step.
 
@@ -104,7 +105,16 @@ def make_pipeline_step(
         else "pallas" if engine == "pallas"
         else "scan"
     )
-    hess = make_hessian_adjoint(env, H, primal=primal)
+    if hessian_mode not in ("adjoint", "gn"):
+        raise ValueError(
+            f"pipeline design stage supports 'adjoint'/'gn', "
+            f"got {hessian_mode!r}"
+        )
+    # "gn" (Gauss-Newton, first-order-only curvature) shrinks the design
+    # stage — the pipeline's rate wall at 1/max(act, design)
+    hess = make_hessian_adjoint(
+        env, H, primal=primal, second_order=hessian_mode == "adjoint"
+    )
 
     def local_step(x0, t0, pos_traj, vel_traj, a_mean, factor, params, key,
                    gamma_mean, discount):

@@ -141,7 +141,7 @@ class CoVOSolver(BaseSolver):
             from covo_mpc_tpu.ops.hessian import make_hessian_sensitivity
 
             self._hessian = make_hessian_sensitivity(env, H)
-        elif hessian_mode == "adjoint":
+        elif hessian_mode in ("adjoint", "gn"):
             from covo_mpc_tpu.ops.hessian import make_hessian_adjoint
 
             # with the Pallas rollout engine, also run the Hessian's
@@ -159,7 +159,12 @@ class CoVOSolver(BaseSolver):
             # pullback matmuls (bf16-truncated on TPU, ~7e-3 absolute on a
             # unit-scale Hessian) with HIGHEST-precision in-kernel dots
             tail = primal if primal != "scan" else "xla"
-            self._hessian = make_hessian_adjoint(env, H, primal=primal, tail=tail)
+            # "gn": Gauss-Newton curvature — drops every second-order
+            # dynamics term (see make_hessian_adjoint); same chassis
+            self._hessian = make_hessian_adjoint(
+                env, H, primal=primal, tail=tail,
+                second_order=hessian_mode == "adjoint",
+            )
         else:
             self._hessian = covariance.make_hessian(
                 make_hessian_cost(env, H, unroll=hessian_unroll), mode=hessian_mode

@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--rng", default="fast", choices=["fast", "invariant", "kernel"],
                     help="sampler mode for the sampled controllers (kernel = "
                          "in-kernel TPU-PRNG draw; quality-gates that mode)")
+    ap.add_argument("--hessian-mode", default="adjoint",
+                    choices=["fwd_fwd", "fwd_rev", "sensitivity", "adjoint", "gn"],
+                    help="CoVO Hessian estimator (gn = Gauss-Newton "
+                         "approximation; quality-gates that mode)")
     args = ap.parse_args()
 
     import jax
@@ -62,7 +66,7 @@ def main():
         sampled = name != "pid"
         solver, _ = get_solver(
             env, name, pstr, rng_mode=args.rng if sampled else sampling.FAST,
-            hessian_mode="adjoint" if "covo" in name else "fwd_fwd",
+            hessian_mode=args.hessian_mode if "covo" in name else "fwd_fwd",
             collect_debug=False,
             engine=args.engine if sampled else "jnp",
             sigma_mode=args.sigma_mode,
@@ -83,7 +87,8 @@ def main():
         "(reference: quadrotor.py:506-591). Error = mean ||pos - pos_tar|| "
         "over the episode, in cm. Device: "
         f"{jax.devices()[0]}. Fast path: engine={args.engine}, "
-        f"sigma_mode={args.sigma_mode}, adjoint Hessian, {args.rng} sampler.",
+        f"sigma_mode={args.sigma_mode}, {args.hessian_mode} Hessian, "
+        f"{args.rng} sampler.",
         "",
         "| controller | err_pos (cm) | vs MPPI |",
         "|---|---|---|",

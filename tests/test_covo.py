@@ -628,3 +628,106 @@ class TestSpeculative:
             assert float(jnp.max(jnp.abs(act))) <= 1.0
             assert bool(jnp.all(jnp.isfinite(cp.a_mean)))
             obs, state, _, _, info = env.step_env(k, state, act, params)[:5]
+
+
+class TestGaussNewton:
+    """hessian_mode='gn' (extension): Gauss-Newton curvature — first-order
+    Jacobians sandwiching the reward Hessian, every second-order dynamics
+    term dropped (ops/hessian.make_hessian_adjoint(second_order=False))."""
+
+    @staticmethod
+    def _gn_reference(env, H_, a_flat, x0, t0, pos_traj, vel_traj, params, key):
+        """Straightforward autodiff composition of the same definition:
+        R = -sum_{h<H-1} (d s_{h+1}/d a)^T (grad^2 r)(s_{h+1}) (d s_{h+1}/d a).
+        """
+        from covo_mpc_tpu.ops import hessian as hmod
+
+        dist = hmod.build_hessian_disturb_table(env, x0, t0, params, key, H_)
+        dt = env._dt
+        dA = env.action_dim
+
+        def states(a):
+            a_seq = a.reshape(H_, dA)
+
+            def stepf(s, inp):
+                act, fd = inp
+                s2 = hmod._step13(s, act, fd, params, dt)
+                return s2, s2
+
+            _, ss = jax.lax.scan(stepf, x0[:13], (a_seq, dist))
+            return ss  # (H, 13) = s_1 .. s_H
+
+        S = jax.jacfwd(states)(a_flat)  # (H, 13, D)
+        ss = states(a_flat)
+        T_traj = pos_traj.shape[0]
+        idx = np.clip(np.asarray(t0) + 1 + np.arange(H_), 0, T_traj - 1)
+        R = jnp.zeros((H_ * dA, H_ * dA))
+        for h in range(H_ - 1):
+            H_r = jax.hessian(
+                lambda s: hmod._reward13(
+                    s, pos_traj[idx[h]], vel_traj[idx[h]], env.reward_name
+                )
+            )(ss[h])
+            R = R + S[h].T @ H_r @ S[h]
+        return -R
+
+    def test_matches_autodiff_composition(self):
+        from covo_mpc_tpu.ops.hessian import make_hessian_adjoint
+
+        env = make_env()
+        _, info, state = env.reset_env(jax.random.PRNGKey(11), env.default_params)
+        noisy = info["noisy_state"]
+        x0 = pack_state(noisy)
+        a_mean = jax.random.normal(jax.random.PRNGKey(7), (H, 4)) * 0.3
+        args = (x0, noisy.time, noisy.pos_traj, noisy.vel_traj,
+                env.default_params, jax.random.PRNGKey(9))
+        R_gn = make_hessian_adjoint(env, H, second_order=False)(
+            a_mean.flatten(), *args
+        )
+        R_ref = self._gn_reference(env, H, a_mean.flatten(), *args)
+        np.testing.assert_allclose(R_gn, R_ref, atol=1e-5, rtol=1e-4)
+        # and it is NOT the exact Hessian (the dropped curvature is real)
+        R_exact = make_hessian_adjoint(env, H)(a_mean.flatten(), *args)
+        assert float(jnp.max(jnp.abs(R_gn - R_exact))) > 1e-4
+
+    def test_solver_closed_loop(self):
+        """CoVOSolver(hessian_mode='gn') tracks over a few control steps."""
+        env = make_env()
+        solver, cp = get_solver(
+            env, "covo_online", "N256_H8_lam0.01",
+            rng_mode=sampling.FAST, hessian_mode="gn",
+            collect_debug=False, engine="jnp", sigma_mode="ns",
+        )
+        params = env.default_params
+        obs, info, state = env.reset_env(jax.random.PRNGKey(0), params)
+        cp = solver.reset(state, params, cp, jax.random.PRNGKey(3))
+        rng = jax.random.PRNGKey(5)
+        for _ in range(6):
+            rng, k = jax.random.split(rng)
+            act, cp, _ = solver(obs, state, params, k, cp, info)
+            assert float(jnp.max(jnp.abs(act))) <= 1.0
+            assert bool(jnp.all(jnp.isfinite(cp.a_cov)))
+            obs, state, _, _, info = env.step_env(k, state, act, params)[:5]
+        err = jnp.linalg.norm(state.pos - state.pos_tar)
+        assert float(err) < 0.5, f"gn diverged: err_pos={float(err)}"
+
+    def test_pipeline_design_stage_takes_gn(self):
+        """make_pipeline_step(hessian_mode='gn') traces for the compiled
+        check_vma configuration."""
+        from covo_mpc_tpu.parallel import make_pipeline_mesh, make_pipeline_step
+        from covo_mpc_tpu.solvers import hover_sequence
+
+        env = make_env()
+        params = env.default_params
+        _, _, state = env.reset_env(jax.random.PRNGKey(0), params)
+        mesh = make_pipeline_mesh(jax.devices()[:2])
+        step = make_pipeline_step(
+            env, mesh, N=64, H=H, lam=LAM, engine="pallas",
+            interpret=False, hessian_mode="gn",
+        )
+        out = jax.eval_shape(
+            step, pack_state(state), state.time, state.pos_traj,
+            state.vel_traj, hover_sequence(env, H),
+            jnp.eye(H * env.action_dim) * 0.5, params, jax.random.PRNGKey(1),
+        )
+        assert out[0].shape == (H, env.action_dim)
