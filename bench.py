@@ -194,7 +194,8 @@ def bench_scenarios(env, args, k: int = 8):
     return agg
 
 
-def bench_speculative(env, args, k: int = 32, rng_mode=None):
+def bench_speculative(env, args, k: int = 32, rng_mode=None,
+                      hessian_mode="adjoint"):
     """covo_speculative: the obs→action latency path (act: shift + sample +
     rollout + update with the Σ prepared last step) vs the full step
     (act + prepare fused). act is what a deployed 50 Hz loop pays between
@@ -209,7 +210,7 @@ def bench_speculative(env, args, k: int = 32, rng_mode=None):
     obs, info, state = env.reset_env(jax.random.PRNGKey(0), params)
     solver, cp = get_solver(
         env, "covo_speculative", f"N{args.n}_H{args.h}_lam0.01",
-        rng_mode=rng_mode, hessian_mode="adjoint", collect_debug=False,
+        rng_mode=rng_mode, hessian_mode=hessian_mode, collect_debug=False,
         engine=args.engine, sigma_mode="ns",
     )
     cp = solver.reset(state, params, cp, jax.random.PRNGKey(7))
@@ -218,6 +219,8 @@ def bench_speculative(env, args, k: int = 32, rng_mode=None):
         solver.act, obs, state, params, info, cp, k=k
     )
     tag = f"{args.engine}+krng" if rng_mode == sampling.KERNEL else args.engine
+    if hessian_mode != "adjoint":
+        tag = f"{tag}+{hessian_mode}"
     print(
         f"[bench] covo_spec    engine={tag:6s} N={args.n} H={args.h}: "
         f"act {per_act*1e3:7.3f} ms obs->action "
@@ -402,6 +405,7 @@ def main():
         bench_one("covo_online", "pallas", hessian_mode="gn")
         bench_covo_offline(env, args, k=args.k)
         bench_speculative(env, args, k=args.k)
+        bench_speculative(env, args, k=args.k, hessian_mode="gn")
         if args.engine == "pallas":  # in-kernel draw needs the fused kernel
             bench_speculative(env, args, k=args.k, rng_mode=sampling.KERNEL)
         bench_pid(k=args.k * 4)
