@@ -2,6 +2,7 @@
 
 from covo_mpc_tpu.parallel.distributed import device_topology, initialize_distributed
 from covo_mpc_tpu.parallel.mesh import SAMPLE_AXIS, SCENARIO_AXIS, make_mesh
+from covo_mpc_tpu.parallel.offline import make_distributed_offline_schedule
 from covo_mpc_tpu.parallel.pipeline import (
     PIPE_AXIS,
     make_init_factor,
@@ -29,6 +30,7 @@ __all__ = [
     "initialize_distributed",
     "make_mesh",
     "make_batched_covo_solve",
+    "make_distributed_offline_schedule",
     "make_multichip_control_step",
     "make_multichip_covo_step",
     "make_sharded_covo_sample_rollout",

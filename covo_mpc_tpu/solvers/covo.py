@@ -270,6 +270,61 @@ class CoVOSolver(BaseSolver):
             return control_params.replace(a_cov=a_cov, a_factor=factor)
         return self._reset_offline(env_state, env_params, control_params, key)
 
+    def _expansion_action(self, state, params, rng):
+        obs = self.env.get_obs(state, params)
+        action, _, _ = self.expansion(
+            obs, state, params, rng, self.expansion_params
+        )
+        return jax.lax.stop_gradient(action)
+
+    def offline_schedule_inputs(self, env_state, env_params, key):
+        """Offline-schedule phase 1: advance the PID expansion episode,
+        collecting the per-step (state_t, key_t) pairs with the reference's
+        key chain (covo.py:72-90: the H-rollout's key consumption is
+        discarded; the forward step splits twice). Sequential and cheap —
+        the schedule state depends only on the PID episode, never on Σ."""
+
+        def advance(carry, _):
+            state, k = carry
+            out = (state, k)
+            rng_step, k = jax.random.split(k)
+            action = self._expansion_action(state, env_params, rng_step)
+            rng_step, k = jax.random.split(k)
+            _, state, _, _, _ = self.env.step_env(
+                rng_step, state, action, env_params
+            )
+            return (state, k), out
+
+        max_steps = self.env.default_params.max_steps_in_episode
+        _, (states, keys) = jax.lax.scan(
+            advance, (env_state, key), None, length=max_steps
+        )
+        return states, keys
+
+    def offline_sigma_at(self, state, key, env_params, sample_sigma):
+        """Offline-schedule phase 2 body: nominal H-step PID rollout +
+        Hessian + Σ design at one schedule timestep (reference:
+        covo.py:72-90). Independent across timesteps — vmapped on one chip
+        (:meth:`_reset_offline`), sharded over the mesh by
+        :func:`covo_mpc_tpu.parallel.offline.make_distributed_offline_schedule`."""
+
+        def pid_rollout(carry, _):
+            st, params, k = carry
+            rng_act, k = jax.random.split(k)
+            action = self._expansion_action(st, params, rng_act)
+            rng_step, k = jax.random.split(k)
+            _, st, _, _, _ = self.env.step_env(
+                rng_step, st, action, params, deterministic=True
+            )
+            return (st, params, k), action
+
+        _, a_mean = jax.lax.scan(
+            pid_rollout, (state, env_params, key), None, length=self.H
+        )
+        R = self.get_hessian(state, env_params, a_mean, key)
+        a_cov, _ = self._optimize_sigma(R, sample_sigma, self.D)
+        return a_cov
+
     @partial(jax.jit, static_argnums=(0,))
     def _reset_offline(self, env_state, env_params, control_params, key):
         """Precompute the per-timestep Σ schedule (reference: covo.py:58-112).
@@ -282,55 +337,12 @@ class CoVOSolver(BaseSolver):
         eighs for ALL max_steps timesteps as one vmapped batch. Same values
         (identical key chain), ~device-parallel instead of 300x sequential.
         """
-
-        def expansion_action(state, params, rng):
-            obs = self.env.get_obs(state, params)
-            action, _, _ = self.expansion(
-                obs, state, params, rng, self.expansion_params
+        states, keys = self.offline_schedule_inputs(env_state, env_params, key)
+        a_cov_offline = jax.vmap(
+            lambda s, k: self.offline_sigma_at(
+                s, k, env_params, control_params.sample_sigma
             )
-            return jax.lax.stop_gradient(action)
-
-        def pid_rollout(carry, _):
-            state, params, k = carry
-            rng_act, k = jax.random.split(k)
-            action = expansion_action(state, params, rng_act)
-            rng_step, k = jax.random.split(k)
-            _, state, _, _, _ = self.env.step_env(
-                rng_step, state, action, params, deterministic=True
-            )
-            return (state, params, k), action
-
-        # phase 1: advance the schedule episode, collecting (state_t, key_t)
-        # with the reference's key chain (covo.py:72-90: the H-rollout's key
-        # consumption is discarded; the forward step splits twice)
-        def advance(carry, _):
-            state, k = carry
-            out = (state, k)
-            rng_step, k = jax.random.split(k)
-            action = expansion_action(state, env_params, rng_step)
-            rng_step, k = jax.random.split(k)
-            _, state, _, _, _ = self.env.step_env(
-                rng_step, state, action, env_params
-            )
-            return (state, k), out
-
-        max_steps = self.env.default_params.max_steps_in_episode
-        _, (states, keys) = jax.lax.scan(
-            advance, (env_state, key), None, length=max_steps
-        )
-
-        # phase 2: batched nominal rollouts + Hessians + Σ designs
-        def sigma_at(state, k):
-            _, a_mean = jax.lax.scan(
-                pid_rollout, (state, env_params, k), None, length=self.H
-            )
-            R = self.get_hessian(state, env_params, a_mean, k)
-            a_cov, _ = self._optimize_sigma(
-                R, control_params.sample_sigma, self.D
-            )
-            return a_cov
-
-        a_cov_offline = jax.vmap(sigma_at)(states, keys)
+        )(states, keys)
         return control_params.replace(a_cov_offline=a_cov_offline)
 
     # -- solve --------------------------------------------------------------

@@ -663,3 +663,38 @@ def test_multichip_step_kernel_rng(setup, maker):
     assert bool(jnp.all(jnp.isfinite(a_means2)))
     assert float(jnp.max(jnp.abs(a_means2))) <= 1.0 + 1e-6
     assert float(jnp.max(jnp.abs(a_means2 - a_means))) > 0.0
+
+
+def test_distributed_offline_schedule_matches_single(setup):
+    """Sharded phase-2 Σ-schedule precompute == the single-device
+    _reset_offline (same phase-1 key chain; timestep axis split over the
+    mesh). Covers an even split (2 shards of 150) and the padded path
+    (8 shards of 38 over 300+4 steps)."""
+    from covo_mpc_tpu.parallel import make_distributed_offline_schedule
+    from covo_mpc_tpu.solvers import get_solver
+
+    env, params, state = setup
+    solver, cp0 = get_solver(env, "covo_offline", "N4_H2_lam0.01")
+    key = jax.random.PRNGKey(7)
+    cp_ref = solver._reset_offline(state, params, cp0, key)
+
+    for k in (2, 8):
+        mesh = make_mesh(samples=k, scenarios=1, devices=jax.devices()[:k])
+        sched = make_distributed_offline_schedule(solver, mesh)
+        cp = sched(state, params, cp0, key)
+        assert cp.a_cov_offline.shape == cp_ref.a_cov_offline.shape
+        np.testing.assert_allclose(
+            np.asarray(cp.a_cov_offline), np.asarray(cp_ref.a_cov_offline),
+            atol=1e-4, err_msg=f"shards={k}",
+        )
+
+
+def test_distributed_offline_schedule_rejects_online(setup):
+    from covo_mpc_tpu.parallel import make_distributed_offline_schedule
+    from covo_mpc_tpu.solvers import get_solver
+
+    env, _, _ = setup
+    solver, _ = get_solver(env, "covo_online", "N4_H2_lam0.01")
+    mesh = make_mesh(samples=2, scenarios=1, devices=jax.devices()[:2])
+    with pytest.raises(ValueError, match="offline"):
+        make_distributed_offline_schedule(solver, mesh)
