@@ -67,6 +67,9 @@ def parse_args():
                          "global-id draws; kernel = in-kernel TPU-PRNG "
                          "draw per shard (pallas engine only — fastest, "
                          "not resharding-invariant)")
+    ap.add_argument("--offline", action="store_true",
+                    help="also bench the CoVO-offline Σ-schedule precompute "
+                         "sharded over the mesh (parallel/offline.py)")
     ap.add_argument("--pipeline", action="store_true",
                     help="also bench the two-stage speculative pipeline "
                          "(act + Σ-design on separate chips, "
@@ -250,6 +253,64 @@ def bench_scenario_dp(env, args, n_chips, B):
     return rows
 
 
+def bench_offline_schedule(env, args, shard_counts):
+    """Offline Σ-schedule precompute scaling: phase 2's max_steps
+    independent Hessian+designer problems sharded over the mesh
+    (parallel/offline.py; 1 shard = the single-chip ``_reset_offline``).
+    One-shot seconds-scale dispatches, so wall time with a transfer sync
+    is the right measurement (tunnel overhead <2% — matches bench.py's
+    covo_offline precompute row)."""
+    import time
+
+    from covo_mpc_tpu.ops import sampling
+    from covo_mpc_tpu.parallel import (
+        make_distributed_offline_schedule,
+        make_mesh,
+    )
+    from covo_mpc_tpu.solvers import get_solver
+
+    params = env.default_params
+    _, _, state = env.reset_env(jax.random.PRNGKey(0), params)
+    solver, cp0 = get_solver(
+        env, "covo_offline", f"N{args.n}_H{args.h}_lam{args.lam}",
+        rng_mode=sampling.FAST, hessian_mode="adjoint",
+        collect_debug=False, sigma_mode="ns",
+    )
+    key = jax.random.PRNGKey(7)
+
+    rows = []
+    for s in shard_counts:
+        if s == 1:
+            sched = lambda: solver.reset(state, params, cp0, key)
+        else:
+            dist = make_distributed_offline_schedule(
+                solver,
+                make_mesh(samples=s, scenarios=1, devices=jax.devices()[:s]),
+            )
+            sched = lambda: dist(state, params, cp0, key)
+        float(jnp.sum(sched().a_cov_offline))  # compile + sync
+        t0 = time.time()
+        float(jnp.sum(sched().a_cov_offline))  # sync via transfer (axon)
+        dt = time.time() - t0
+        rows.append({
+            "axis": "offline_schedule",
+            "shards": s,
+            "precompute_s": dt,
+        })
+        print(
+            f"[mesh] covo_offline schedule H={args.h} shards={s}: "
+            f"{dt:6.3f} s precompute",
+            file=sys.stderr,
+        )
+
+    base = rows[0]
+    for r in rows:
+        speedup = base["precompute_s"] / r["precompute_s"]
+        r["speedup_vs_1shard"] = speedup
+        r["scaling_efficiency"] = speedup / (r["shards"] / base["shards"])
+    return rows
+
+
 def bench_pipeline(env, args):
     """Latency pipelining: one control loop's solve rate with act and
     Σ-design overlapped on two chips — 1/max(act, design) instead of the
@@ -356,6 +417,9 @@ def main():
     if args.scenarios:
         B = args.b or args.scenarios
         rows += bench_scenario_dp(env, args, args.scenarios, B)
+
+    if args.offline:
+        rows += bench_offline_schedule(env, args, shard_counts)
 
     if args.pipeline:
         if n_dev < 2:
