@@ -12,9 +12,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_parallel_codegen_split_count" not in _flags:
+    # Full-suite runs intermittently segfault inside XLA:CPU's
+    # backend_compile (LLVM codegen race under parallel module splitting;
+    # observed twice at the same suite position, not reproducible from
+    # the failing test alone). Serializing codegen costs nothing
+    # measurable at this program scale (test_pipeline: 170 s -> 173 s).
+    _flags = (_flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+os.environ["XLA_FLAGS"] = _flags
 
 import sys
 
