@@ -374,6 +374,8 @@ def main():
         tag = f"{engine}+krng" if rng_mode == sampling.KERNEL else engine
         if hessian_mode != "adjoint":
             tag = f"{tag}+{hessian_mode}"
+        if sigma_mode != "ns":
+            tag = f"{tag}+{sigma_mode}"
         print(
             f"[bench] {controller:12s} engine={tag:6s} N={args.n} H={args.h}: "
             f"{per_solve*1e3:7.3f} ms/solve -> {rate:7.1f} solves/s/chip "
@@ -403,6 +405,8 @@ def main():
         bench_one("covo_online", "pallas", rng_mode=sampling.KERNEL)
         bench_one("covo_online", "pallas", sigma_mode="eigh")
         bench_one("covo_online", "pallas", hessian_mode="gn")
+        bench_one("covo_online", "pallas", rng_mode=sampling.KERNEL,
+                  hessian_mode="gn")
         bench_covo_offline(env, args, k=args.k)
         bench_speculative(env, args, k=args.k)
         bench_speculative(env, args, k=args.k, hessian_mode="gn")
