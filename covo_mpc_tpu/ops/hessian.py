@@ -22,7 +22,13 @@ State is the 13-dim packed core (pos, quat, vel, omega); the force
 disturbance is action-independent under the reference's Hessian semantics
 (deterministic steps, per-step key splits — reference: covo.py:142-163)
 for every disturbance model except "drag"/"mixed", and enters as a
-precomputed (H, 3) constant table.
+precomputed (H, 3) constant table. For the velocity-coupled models
+("drag"/"mixed", reference: free.py:41-56) the disturbance force is a
+function of the rollout's own velocity, so the sensitivity state widens
+to 16 dims (core 13 + f_dist) with the disturbance update folded into the
+differentiated step; the key/time-dependent parts of "mixed" (sin value,
+periodic draw + mask) are still action-independent constants and enter as
+a precomputed (H, 7) table.
 """
 
 from __future__ import annotations
@@ -38,7 +44,13 @@ from covo_mpc_tpu.models.quad_env import QuadEnv
 from covo_mpc_tpu.utils.vma import match_vma
 
 _SD = 13  # sensitivity state: pos(3) quat(4) vel(3) omega(3)
+_SDV = 16  # velocity-coupled sensitivity state: core 13 + f_dist(3)
 
+
+def _vel_coupled(env: QuadEnv) -> bool:
+    """True when the disturbance force depends on the rollout's own state
+    (reference: free.py:41-56) — the Hessian must differentiate through it."""
+    return env.config.disturb_type in ("drag", "mixed")
 
 
 def _step13(s, a, fdist, params, dt):
@@ -63,6 +75,58 @@ def _reward13(s, pos_tar, vel_tar, reward_name: str):
     if reward_name == "penyaw":
         return rewards.tracking_penyaw_reward(pos, v, q, pos_tar, vel_tar)
     return rewards.tracking_realworld_reward(pos, q, pos_tar)
+
+
+def _step16(z_s, a, aux, params, dt, mixed: bool):
+    """One bodyrate step on the 16-dim state (core 13 + f_dist), with the
+    velocity-coupled disturbance update folded into the differentiated step
+    (reference: free.py:41-56 applied at free.py:147).
+
+    The force applied DURING the step is the state's own f_dist (computed
+    last iteration from the then-pre-step velocity — the update order of
+    make_hessian_cost, ops/rollout.py:205-213); the returned state carries
+    the post-step disturbance drag(v_pre) (+ the "mixed" model's sin /
+    periodic terms, whose key/time parts are per-step constants in ``aux``:
+    [sin value (3), periodic draw (3), redraw mask (1)]).
+    """
+    a = jnp.clip(a, -1.0, 1.0)
+    u, _ = dynamics.control_to_thrust_omega(a, params)
+    core = dynamics.bodyrate_step(z_s, u, params, dt)[:13]
+    v, f_prev = z_s[7:10], z_s[13:16]
+    f = dynamics.drag_disturb(None, params, None, v, f_prev)
+    if mixed:
+        f = (f + aux[:3] + jnp.where(aux[6] > 0, aux[3:6], f_prev)) / 3.0
+    return jnp.concatenate([core, f])
+
+
+def build_hessian_aux_table(env: QuadEnv, x0, t0, params, key, H: int):
+    """(H, 7) per-iteration constants [sin value, periodic draw, redraw
+    mask] for the in-state disturbance update of the velocity-coupled
+    Hessian rollout ("mixed"); zeros for "drag", whose update needs no
+    constants. Iteration h's update runs at time t0 + h under the h-th key
+    of the same split chain as make_hessian_cost (ops/rollout.py:200-212;
+    reference: covo.py:151)."""
+    if env.config.disturb_type == "drag":
+        return match_vma(jnp.zeros((H, 7), x0.dtype), x0)
+    params = params.replace(dyn_noise_scale=0.0)
+    times = t0 + jnp.arange(H)
+    zeros3 = match_vma(jnp.zeros((3,), x0.dtype), x0)
+    sin_vals = jax.vmap(
+        lambda t: dynamics.sin_disturb(key, params, t, None, zeros3)
+    )(times)
+    mask = (times % params.disturb_period == 0).astype(x0.dtype)
+
+    def step(k, _):
+        rng_act, k = jax.random.split(k)
+        dk = dynamics.derive_dynamics_keys(rng_act)
+        # the periodic component's draw (reference: free.py:10-24)
+        draw = jax.random.uniform(
+            dk, (3,), minval=-params.disturb_scale, maxval=params.disturb_scale
+        )
+        return k, draw
+
+    _, draws = lax.scan(step, key, None, length=H)
+    return jnp.concatenate([sin_vals, draws, mask[:, None]], axis=1)
 
 
 def build_hessian_disturb_table(env: QuadEnv, x0, t0, params, key, H: int):
@@ -108,22 +172,25 @@ def make_hessian_sensitivity(env: QuadEnv, H: int):
     """Build ``hessian(a_flat, x0, t0, pos_traj, vel_traj, params, key) ->
     (D, D)`` — drop-in for covariance.make_hessian(make_hessian_cost(...)).
     """
-    if env.config.disturb_type in ("drag", "mixed"):
-        raise NotImplementedError(
-            "velocity-dependent disturbance couples into the sensitivity "
-            "state; use the autodiff Hessian estimators"
-        )
     reward_name = env.reward_name
     dt = env._dt
     dA = env.action_dim
     D = H * dA
+    vel = _vel_coupled(env)
+    SD = _SDV if vel else _SD
+    mixed = env.config.disturb_type == "mixed"
 
     def hessian(a_flat, x0, t0, pos_traj, vel_traj, params, key):
         a_seq = a_flat.reshape(H, dA)
         T_traj = pos_traj.shape[0]
-        dist = build_hessian_disturb_table(env, x0, t0, params, key, H)
-
-        step_sa = lambda sa, fd: _step13(sa[:_SD], sa[_SD:], fd, params, dt)
+        if vel:
+            aux = build_hessian_aux_table(env, x0, t0, params, key, H)
+            step_sa = lambda sa, au: _step16(
+                sa[:SD], sa[SD:], au, params, dt, mixed
+            )
+        else:
+            aux = build_hessian_disturb_table(env, x0, t0, params, key, H)
+            step_sa = lambda sa, fd: _step13(sa[:SD], sa[SD:], fd, params, dt)
         step_jac = jax.jacfwd(step_sa)
         step_hess = jax.jacfwd(step_jac)
         rew = lambda s, pt, vt: _reward13(s, pt, vt, reward_name)
@@ -135,19 +202,19 @@ def make_hessian_sensitivity(env: QuadEnv, H: int):
             a, h = inp
             sa = jnp.concatenate([s, a])
 
-            s_new = step_sa(sa, dist[h])
-            J = step_jac(sa, dist[h])  # (13, 17)
-            Hf = step_hess(sa, dist[h])  # (13, 17, 17)
+            s_new = step_sa(sa, aux[h])
+            J = step_jac(sa, aux[h])  # (SD, SD+dA)
+            Hf = step_hess(sa, aux[h])  # (SD, SD+dA, SD+dA)
 
             # T: d(sa)/d(a_flat) — state rows carry S1, action rows are the
             # h-th 4-column identity block
             E = lax.dynamic_update_slice(
                 jnp.zeros((dA, D)), jnp.eye(dA), (0, h * dA)
             )
-            T = jnp.concatenate([S1, E], axis=0)  # (17, D)
+            T = jnp.concatenate([S1, E], axis=0)  # (SD+dA, D)
 
-            S1_new = J @ T  # (13, D)
-            S2_new = jnp.einsum("kl,lab->kab", J[:, :_SD], S2) + jnp.einsum(
+            S1_new = J @ T  # (SD, D)
+            S2_new = jnp.einsum("kl,lab->kab", J[:, :SD], S2) + jnp.einsum(
                 "kuv,ua,vb->kab", Hf, T, T
             )
 
@@ -161,9 +228,9 @@ def make_hessian_sensitivity(env: QuadEnv, H: int):
             return (s_new, S1_new, S2_new, Hacc), None
 
         init = (
-            x0[:_SD],
-            jnp.zeros((_SD, D)),
-            jnp.zeros((_SD, D, D)),
+            x0[:SD],
+            jnp.zeros((SD, D)),
+            jnp.zeros((SD, D, D)),
             jnp.zeros((D, D)),
         )
         (_, _, _, Hacc), _ = lax.scan(body, init, (a_seq, jnp.arange(H)))
@@ -215,17 +282,23 @@ def make_hessian_adjoint(
     protocol like every non-parity mode. (First-order-only curvature for
     sampling MPC is the pattern in the retrieved Gauss–Newton-accelerated
     MPPI literature, PAPERS.md; no reference counterpart —
-    quadjax/controllers/covo.py:183-185 is always exact.)
+    quadjax/controllers/covo.py:183-185 is always exact.) Quality gate
+    PASSED on the 40-episode protocol: RESULTS.md "Speed-mode quality
+    gates" — gn 3.52 cm / gn+kernel-rng 3.57 cm, +48.0%/+47.2% vs the
+    same-run MPPI anchor, on par with the exact adjoint.
     """
-    if env.config.disturb_type in ("drag", "mixed"):
-        raise NotImplementedError(
-            "velocity-dependent disturbance couples into the sensitivity "
-            "state; use the autodiff Hessian estimators"
-        )
     reward_name = env.reward_name
     dt = env._dt
     dA = env.action_dim
     D = H * dA
+    vel = _vel_coupled(env)
+    SD = _SDV if vel else _SD
+    mixed = env.config.disturb_type == "mixed"
+    if vel and primal != "scan":
+        # the Pallas primal kernel rolls out against a constant (H, 3)
+        # disturbance table; velocity-coupled disturbances evolve in-state,
+        # so the nominal rollout runs as the scan primal instead
+        primal = "scan"
     if primal in ("pallas", "pallas_interpret"):
         from covo_mpc_tpu.ops.rollout_pallas import make_pallas_primal
 
@@ -240,7 +313,7 @@ def make_hessian_adjoint(
         from covo_mpc_tpu.ops.hessian_pallas import make_tail_pullback
 
         tail_pullback = make_tail_pullback(
-            H, dA, interpret=(tail == "pallas_interpret")
+            H, dA, sd=SD, interpret=(tail == "pallas_interpret")
         )
     elif tail == "xla":
         tail_pullback = None
@@ -250,12 +323,16 @@ def make_hessian_adjoint(
     def hessian(a_flat, x0, t0, pos_traj, vel_traj, params, key):
         a_seq = a_flat.reshape(H, dA)
         T_traj = pos_traj.shape[0]
-        dist = build_hessian_disturb_table(env, x0, t0, params, key, H)
+        if vel:
+            aux = build_hessian_aux_table(env, x0, t0, params, key, H)
+            step_z = lambda z, au: _step16(z[:SD], z[SD:], au, params, dt, mixed)
+        else:
+            aux = build_hessian_disturb_table(env, x0, t0, params, key, H)
+            step_z = lambda z, fd: _step13(z[:SD], z[SD:], fd, params, dt)
         idx = jnp.clip(t0 + 1 + jnp.arange(H), 0, T_traj - 1)
         ptars = pos_traj[idx]
         vtars = vel_traj[idx]
 
-        step_z = lambda z, fd: _step13(z[:_SD], z[_SD:], fd, params, dt)
         rew = lambda s, pt, vt: _reward13(s, pt, vt, reward_name)
 
         # 1) primal rollout, collecting z_h = (s_h, a_h)
@@ -263,15 +340,17 @@ def make_hessian_adjoint(
         # varies over (check_vma) — derive them from the inputs
         vary = tuple(getattr(jax.typeof(x0), "vma", frozenset()))
         if pallas_primal is not None:
-            zs = pallas_primal(x0, a_seq, dist, params, vma=vary)  # (H, 17)
+            zs = pallas_primal(x0, a_seq, aux, params, vma=vary)  # (H, 17)
         else:
 
             def prim(s, inp):
-                a, fd = inp
+                a, au = inp
                 z = jnp.concatenate([s, a])
-                return step_z(z, fd), z
+                return step_z(z, au), z
 
-            _, zs = lax.scan(prim, x0[:_SD], (a_seq, dist), unroll=True)  # (H, 17)
+            _, zs = lax.scan(
+                prim, x0[:SD], (a_seq, aux), unroll=True
+            )  # (H, SD + dA)
 
         # the last step's reward is constant-trimmed (see make_hessian_cost)
         mask = (jnp.arange(H) < H - 1).astype(jnp.float32)
@@ -287,7 +366,7 @@ def make_hessian_adjoint(
                 H_r = jax.hessian(lambda ss: rew(ss, pt, vt))(f(z))
                 return J, H_r
 
-            J, H_r = jax.vmap(local_derivs_gn)(zs, dist, ptars, vtars)
+            J, H_r = jax.vmap(local_derivs_gn)(zs, aux, ptars, vtars)
             M = jnp.einsum(
                 "hku,hkl,hlv->huv", J, H_r, J,
                 precision=jax.lax.Precision.HIGHEST,
@@ -301,14 +380,14 @@ def make_hessian_adjoint(
                 g = lambda zz: rew(f(zz), pt, vt)
                 return J, Hf, jax.grad(g)(z), jax.hessian(g)(z)
 
-            J, Hf, grad_g, hess_g = jax.vmap(local_derivs)(zs, dist, ptars, vtars)
+            J, Hf, grad_g, hess_g = jax.vmap(local_derivs)(zs, aux, ptars, vtars)
             grad_g = grad_g * mask[:, None]
             hess_g = hess_g * mask[:, None, None]
 
             # 4) backward costate: mu_j = w_{j+1} + A_{j+1}^T mu_{j+1}
             # (before step 3 — the fused tail consumes M up front)
-            A_next = J[1:, :, :_SD][::-1]  # A_{j+1} for j = H-2..0
-            w_next = grad_g[1:, :_SD][::-1]
+            A_next = J[1:, :, :SD][::-1]  # A_{j+1} for j = H-2..0
+            w_next = grad_g[1:, :SD][::-1]
 
             def bwd(mu, inp):
                 A, w = inp
@@ -316,11 +395,11 @@ def make_hessian_adjoint(
                 return mu, mu
 
             _, mus_rev = lax.scan(
-                bwd, match_vma(jnp.zeros(_SD), grad_g), (A_next, w_next),
+                bwd, match_vma(jnp.zeros(SD), grad_g), (A_next, w_next),
                 unroll=True,
             )
             mus = jnp.concatenate(
-                [mus_rev[::-1], match_vma(jnp.zeros((1, _SD)), mus_rev)], axis=0
+                [mus_rev[::-1], match_vma(jnp.zeros((1, SD)), mus_rev)], axis=0
             )
 
             # 5) per-step quadratic forms
@@ -340,7 +419,7 @@ def make_hessian_adjoint(
             return J_h @ T_h, T_h
 
         _, T = lax.scan(
-            fwd, match_vma(jnp.zeros((_SD, D)), J), (J, jnp.arange(H)),
+            fwd, match_vma(jnp.zeros((SD, D)), J), (J, jnp.arange(H)),
             unroll=True,
         )  # (H,17,D)
 

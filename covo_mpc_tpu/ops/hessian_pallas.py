@@ -68,21 +68,24 @@ def _chain_kernel(J_ref, T_ref, *, H: int, dA: int):
         )  # (16, L); rows 13..15 stay zero (J bank rows are zero there)
 
 
-def _to_bank_cols(x):
-    """(..., 17) z-axis -> (..., _ZB) bank axis (state 0..12, action 16..)."""
+def _to_bank_cols(x, sd: int):
+    """(..., sd+dA) z-axis -> (..., _ZB) bank axis (state 0..sd-1, action
+    _AB..)."""
     pad = [(0, 0)] * (x.ndim - 1)
-    state = jnp.pad(x[..., :_SD], pad + [(0, _AB - _SD)])
-    act = jnp.pad(x[..., _SD:], pad + [(0, _ZB - _AB - (x.shape[-1] - _SD))])
+    state = jnp.pad(x[..., :sd], pad + [(0, _AB - sd)])
+    act = jnp.pad(x[..., sd:], pad + [(0, _ZB - _AB - (x.shape[-1] - sd))])
     return jnp.concatenate([state, act], axis=-1)
 
 
-def make_tail_pullback(H: int, dA: int, interpret: bool = False):
+def make_tail_pullback(H: int, dA: int, sd: int = _SD, interpret: bool = False):
     """Build ``tail(J, M) -> (D, D)`` = sum_h T_h^T M_h T_h (chained T).
 
-    Drop-in for steps 3/5/6 of make_hessian_adjoint: J (H, 13, 17) local
-    jacobians, M (H, 17, 17) the per-step curvature (reward Hessian +
-    costate-weighted dynamics Hessian). Matches the XLA scan tail to fp
-    rounding (pinned in tests/test_covo.py).
+    Drop-in for steps 3/5/6 of make_hessian_adjoint: J (H, sd, sd+dA) local
+    jacobians, M (H, sd+dA, sd+dA) the per-step curvature (reward Hessian +
+    costate-weighted dynamics Hessian). ``sd`` is 13 for the core
+    sensitivity state, 16 for the velocity-coupled one (drag/mixed; the
+    bank layout already reserves 16 state rows, so both fit). Matches the
+    XLA scan tail to fp rounding (pinned in tests/test_covo.py).
     """
     D = H * dA
     L = -(-D // 128) * 128
@@ -91,10 +94,10 @@ def make_tail_pullback(H: int, dA: int, interpret: bool = False):
     def tail(J, M, vma=()):
         # ``vma``: mesh axes the output varies over — required when the
         # kernel runs inside shard_map under check_vma (see rollout_pallas)
-        Z = J.shape[-1]  # 17 = 13 + dA
-        assert Z == _SD + dA and dA <= _ZB - _AB
-        # J rows (13 outputs) -> 16-row bank; cols -> 24-col bank
-        J_bank = jnp.pad(_to_bank_cols(J), [(0, 0), (0, _AB - _SD), (0, 0)])
+        Z = J.shape[-1]  # sd + dA
+        assert Z == sd + dA and dA <= _ZB - _AB and sd <= _AB
+        # J rows (sd outputs) -> 16-row bank; cols -> 24-col bank
+        J_bank = jnp.pad(_to_bank_cols(J, sd), [(0, 0), (0, _AB - sd), (0, 0)])
         T_bank = pl.pallas_call(
             functools.partial(_chain_kernel, H=H, dA=dA),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
@@ -106,11 +109,11 @@ def make_tail_pullback(H: int, dA: int, interpret: bool = False):
             interpret=interpret,
         )(J_bank.reshape(H * _AB, _ZB).astype(jnp.float32))
         T_bank = T_bank.reshape(H, _ZB, L)
-        # un-bank to (H, 17, D) and pull back — batched over h, MXU-floor
+        # un-bank to (H, Z, D) and pull back — batched over h, MXU-floor
         T = jnp.concatenate(
-            [T_bank[:, :_SD, :D], T_bank[:, _AB:_AB + dA, :D]], axis=1
+            [T_bank[:, :sd, :D], T_bank[:, _AB:_AB + dA, :D]], axis=1
         )
-        MT = jnp.einsum("huv,hvx->hux", M, T, precision=hi)  # (H, 17, D)
+        MT = jnp.einsum("huv,hvx->hux", M, T, precision=hi)  # (H, Z, D)
         return jnp.einsum("hux,huy->xy", T, MT, precision=hi)  # (D, D)
 
     return tail

@@ -27,7 +27,9 @@ class RunConfig:
 
     # TPU-native knobs
     rng_mode: str = "fast"  # parity | fast | invariant | kernel (in-kernel TPU-PRNG draw, pallas engine only)
-    hessian_mode: str = "fwd_rev"  # fwd_fwd (reference) | fwd_rev | sensitivity | adjoint | gn (Gauss-Newton)
+    # auto resolves to the adjoint fast path (every published number uses
+    # it; covers all disturbance models) — fwd_fwd under the parity sampler
+    hessian_mode: str = "auto"  # auto | fwd_fwd (reference) | fwd_rev | sensitivity | adjoint | gn (Gauss-Newton)
     engine: str = "auto"  # auto | jnp | pallas (fused rollout kernel; TPU only)
     sigma_mode: str = "auto"  # auto | eigh | ns | ns_pallas (NS = matmul-only designer)
     total_steps: int = 300 * 4 * 10

@@ -210,7 +210,9 @@ class CoVOSolver(BaseSolver):
         design overlapped on two chips). The Σ is one model step stale —
         quality sits
         between covo_online (exact state) and covo_offline (whole schedule
-        precomputed), gated on the 40-episode protocol in RESULTS.md.
+        precomputed), gated on the 40-episode protocol in RESULTS.md
+        ("Speed-mode quality gates": 3.75 cm, between online's 3.88 and
+        offline's 4.04, +44.6% vs the same-run MPPI anchor).
         """
         if self.mode != "speculative":
             raise ValueError("prepare() requires mode='speculative'")

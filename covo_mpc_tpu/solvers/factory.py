@@ -43,6 +43,17 @@ def resolve_engine(env, N: int, engine: str, collect_debug: bool) -> str:
     return "jnp"
 
 
+def resolve_hessian_mode(env, hessian_mode: str, rng_mode: str) -> str:
+    """Resolve hessian_mode="auto": the adjoint estimator — the fast path,
+    which covers every disturbance model (velocity-coupled drag/mixed run
+    the widened 16-dim sensitivity state, ops/hessian.py) — except under
+    the parity sampler, where the reference's own fwd-over-fwd estimator
+    keeps Σ bit-compatible (reference: covo.py:183-185)."""
+    if hessian_mode != "auto":
+        return hessian_mode
+    return covariance.FWD_FWD if rng_mode == sampling.PARITY else "adjoint"
+
+
 def resolve_sigma_mode(sigma_mode: str, rng_mode: str) -> str:
     """Resolve sigma_mode="auto": the matmul-only Newton-Schulz designer
     for the fast/invariant samplers, eigh for parity (bit-compat)."""
@@ -88,6 +99,7 @@ def get_solver(
         N, H = 4, 2  # fast-feedback smoke config (reference: quadrotor.py:705-707)
     engine = resolve_engine(env, N, engine, collect_debug)
     sigma_mode = resolve_sigma_mode(sigma_mode, rng_mode)
+    hessian_mode = resolve_hessian_mode(env, hessian_mode, rng_mode)
     a_mean = hover_sequence(env, H)
 
     if name == "mppi":
