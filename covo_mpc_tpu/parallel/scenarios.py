@@ -241,8 +241,13 @@ def make_batched_covo_solve(env, N: int, H: int, lam: float,
     latency-bound fraction — measured with ``bench.py --scenarios B``.
 
     Returns ``solve(x0s (B,16), t0s (B,), pos_trajs (B,T,3), vel_trajs,
-    a_means (B,H,dA), params_b (leaves batched on axis 0), key) ->
-    (a_means_new (B,H,dA), min_costs (B,))``. RNG: per-scenario
+    a_means (B,H,dA), params_b (leaves batched on axis 0), key,
+    gamma_mean=1.0, discount=1.0) -> (a_means_new (B,H,dA),
+    min_costs (B,))`` — the γ-blended mean update and discounted costs of
+    the single-chip solver (B=1 equality-pinned at γ<1 in
+    tests/test_sharding.py; CoVO has no sample-covariance update to
+    thread — Σ is re-designed from the Hessian each step, reference:
+    covo.py:269-275). RNG: per-scenario
     ``fold_in(key, b)`` streams (scenario-count invariant), fast sampler;
     ``rng="kernel"`` draws inside the rollout kernel instead (TPU hardware
     PRNG + in-kernel F z contraction — a different stream, quality-gated
@@ -267,7 +272,8 @@ def make_batched_covo_solve(env, N: int, H: int, lam: float,
         if rng == "kernel" else None
     )
 
-    def solve(x0s, t0s, pos_trajs, vel_trajs, a_means, params_b, key):
+    def solve(x0s, t0s, pos_trajs, vel_trajs, a_means, params_b, key,
+              gamma_mean=1.0, discount=1.0):
         B = a_means.shape[0]
         # receding-horizon shift of the mean only (reference: covo.py:201-203)
         a_means = jnp.concatenate([a_means[:, 1:], a_means[:, -1:]], axis=1)
@@ -293,7 +299,7 @@ def make_batched_covo_solve(env, N: int, H: int, lam: float,
             costs, a_t = sampler_b(
                 x0s, t0s, pos_trajs, vel_trajs, a_means, factors, params_b,
                 step_keys, jax.random.fold_in(key, B), N,
-                deterministic=True, discount=1.0,
+                deterministic=True, discount=discount,
             )
         else:
             # sample directly in the kernel's (B, D, N) layout — same
@@ -307,10 +313,14 @@ def make_batched_covo_solve(env, N: int, H: int, lam: float,
             )
             costs = rollout_b(
                 x0s, t0s, pos_trajs, vel_trajs, a_t, params_b, step_keys,
-                deterministic=True, discount=1.0, layout="bhdn",
+                deterministic=True, discount=discount, layout="bhdn",
             )
         weights = jax.vmap(lambda c: reductions.mppi_weights(c, lam))(costs)
-        a_means_new = jnp.einsum("bn,bdn->bd", weights, a_t).reshape(B, H, dA)
+        a_means_new = jax.vmap(
+            lambda w, a, m: reductions.mean_update_t(
+                w, a.reshape(H, dA, -1), m, gamma_mean
+            )
+        )(weights, a_t, a_means)
         return a_means_new, jnp.min(costs, axis=1)
 
     return jax.jit(solve)
@@ -324,10 +334,11 @@ def make_batched_mppi_solve(env, N: int, H: int, lam: float,
     native (B, lane-tiles) grid).
 
     Returns ``solve(x0s (B,16), t0s, pos_trajs, vel_trajs, a_means
-    (B,H,dA), a_covs (B,H,dA,dA), params_b, key) -> (a_means_new,
-    a_covs_new, min_costs)``. Mean/cov updates use the single-chip
-    semantics at gamma_mean=1, gamma_sigma=0 (the paper configuration,
-    reference: quadrotor.py:713-720). RNG: per-scenario ``fold_in(key, b)``
+    (B,H,dA), a_covs (B,H,dA,dA), params_b, key, gamma_mean=1.0,
+    gamma_sigma=0.0, discount=1.0) -> (a_means_new, a_covs_new,
+    min_costs)`` — the single-chip γ-blended mean AND covariance updates
+    (reference: mppi.py:114-126; B=1 equality-pinned at γ_σ>0 in
+    tests/test_sharding.py). RNG: per-scenario ``fold_in(key, b)``
     streams, fast sampler; ``rng="kernel"`` draws in-kernel (per-step
     Cholesky FMAs on the TPU hardware PRNG, DESIGN.md §2).
     """
@@ -345,7 +356,8 @@ def make_batched_mppi_solve(env, N: int, H: int, lam: float,
         if rng == "kernel" else None
     )
 
-    def solve(x0s, t0s, pos_trajs, vel_trajs, a_means, a_covs, params_b, key):
+    def solve(x0s, t0s, pos_trajs, vel_trajs, a_means, a_covs, params_b, key,
+              gamma_mean=1.0, gamma_sigma=0.0, discount=1.0):
         B = a_means.shape[0]
         # receding-horizon shift of mean AND cov (reference: mppi.py:43-49)
         a_means = jnp.concatenate([a_means[:, 1:], a_means[:, -1:]], axis=1)
@@ -361,7 +373,7 @@ def make_batched_mppi_solve(env, N: int, H: int, lam: float,
             costs, a_flat = sampler_b(
                 x0s, t0s, pos_trajs, vel_trajs, a_means, chols, params_b,
                 step_keys, jax.random.fold_in(key, B), N,
-                deterministic=False, discount=1.0,
+                deterministic=False, discount=discount,
             )
             a_t = a_flat.reshape(B, a_means.shape[1], dA, N)
         else:
@@ -373,11 +385,16 @@ def make_batched_mppi_solve(env, N: int, H: int, lam: float,
             a_t = jnp.clip(a_t, -1.0, 1.0)
             costs = rollout_b(
                 x0s, t0s, pos_trajs, vel_trajs, a_t, params_b, step_keys,
-                deterministic=False, discount=1.0, layout="bhdn",
+                deterministic=False, discount=discount, layout="bhdn",
             )
         weights = jax.vmap(lambda c: reductions.mppi_weights(c, lam))(costs)
-        a_means_new = jnp.einsum("bn,bhdn->bhd", weights, a_t)
-        return a_means_new, a_covs, jnp.min(costs, axis=1)
+        a_means_new = jax.vmap(
+            lambda w, a, m: reductions.mean_update_t(w, a, m, gamma_mean)
+        )(weights, a_t, a_means)
+        a_covs_new = jax.vmap(
+            lambda w, a, m, c: reductions.cov_update_t(w, a, m, c, gamma_sigma)
+        )(weights, a_t, a_means_new, a_covs)
+        return a_means_new, a_covs_new, jnp.min(costs, axis=1)
 
     return jax.jit(solve)
 

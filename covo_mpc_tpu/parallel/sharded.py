@@ -104,7 +104,8 @@ def make_cost_engine(env, engine: str, interpret: bool = False):
 def make_sharded_mppi_solve(env, mesh, N: int, H: int, lam: float,
                             axis: str = SAMPLE_AXIS, engine: str = "jnp",
                             interpret: bool = False,
-                            rng: str = "invariant"):
+                            rng: str = "invariant",
+                            collect_metrics: bool = False):
     """Sharded MPPI sample→rollout→reduce→update core.
 
     Returns ``solve(x0, t0, pos_traj, vel_traj, a_mean, a_cov, gammas,
@@ -113,6 +114,9 @@ def make_sharded_mppi_solve(env, mesh, N: int, H: int, lam: float,
     ``engine="pallas"`` runs the fused rollout kernel per shard. ``rng``:
     see :func:`make_sharded_covo_sample_rollout` ("kernel" draws in-kernel
     per shard; trades resharding invariance for throughput).
+    ``collect_metrics`` appends a dict of per-solve health scalars (ESS,
+    cost min/mean/max — psum'd sufficient statistics, SURVEY §5 metrics
+    row) to the result tuple.
     """
     n_shards = mesh.shape[axis]
     if N % n_shards:
@@ -191,17 +195,27 @@ def make_sharded_mppi_solve(env, mesh, N: int, H: int, lam: float,
         a_cov_new = lax.psum(cov_local, axis) * gamma_sigma + a_cov * (
             1.0 - gamma_sigma
         )
+        if collect_metrics:
+            from covo_mpc_tpu.runtime.metrics import solve_metrics_sharded
+
+            metrics = solve_metrics_sharded(costs, weight, axis, N)
+            return a_mean_new, a_cov_new, min_cost, metrics
         return a_mean_new, a_cov_new, min_cost
 
     def solve(x0, t0, pos_traj, vel_traj, a_mean, a_cov,
               gamma_mean, gamma_sigma, discount, params, act_key, step_key):
         args = (x0, t0, pos_traj, vel_traj, a_mean, a_cov,
                 gamma_mean, gamma_sigma, discount, params, act_key, step_key)
+        out_specs = (P(), P(), P())
+        if collect_metrics:
+            out_specs = out_specs + (
+                {k: P() for k in ("cost_min", "cost_mean", "cost_max", "ess")},
+            )
         return jax.shard_map(
             local_solve,
             mesh=mesh,
             in_specs=_replicated_specs(args),
-            out_specs=(P(), P(), P()),
+            out_specs=out_specs,
             # the interpret-mode pallas evaluator mixes its own unvarying
             # loop indices with varying blocks and trips strict vma checking
             # (jax suggests this exact workaround); the compiled TPU path
@@ -213,7 +227,8 @@ def make_sharded_mppi_solve(env, mesh, N: int, H: int, lam: float,
 
 
 def make_covo_local_core(env, H: int, lam: float, engine: str = "jnp",
-                         interpret: bool = False, rng: str = "invariant"):
+                         interpret: bool = False, rng: str = "invariant",
+                         collect_metrics: bool = False):
     """One shard's CoVO sample→rollout→reduce→update body — the single
     definition consumed by :func:`make_sharded_covo_sample_rollout`
     (collectives over a sample axis) and the pipeline's act stage
@@ -303,6 +318,14 @@ def make_covo_local_core(env, H: int, lam: float, engine: str = "jnp",
         a_mean_new = mean_total * gamma_mean + mean_flat.reshape(
             H_, dA
         ) * (1.0 - gamma_mean)
+        if collect_metrics:
+            from covo_mpc_tpu.runtime.metrics import solve_metrics_sharded
+
+            n_total = n_local * (
+                lax.psum(1, axis) if axis else 1
+            )
+            metrics = solve_metrics_sharded(costs, weight, axis, n_total)
+            return a_mean_new, min_cost, metrics
         return a_mean_new, min_cost
 
     return local
@@ -312,7 +335,8 @@ def make_sharded_covo_sample_rollout(env, mesh, N: int, H: int, lam: float,
                                      axis: str = SAMPLE_AXIS,
                                      engine: str = "jnp",
                                      interpret: bool = False,
-                                     rng: str = "invariant"):
+                                     rng: str = "invariant",
+                                     collect_metrics: bool = False):
     """Sharded CoVO sample→rollout→reduce core.
 
     Σ design (Hessian + eigh) is O(D²) and independent of N, so it runs
@@ -329,14 +353,16 @@ def make_sharded_covo_sample_rollout(env, mesh, N: int, H: int, lam: float,
 
     Returns ``solve(x0, t0, pos_traj, vel_traj, mean_flat, factor,
     gamma_mean, discount, params, act_key, step_key) -> (a_mean_new (H, dA),
-    min_cost)``, all replicated.
+    min_cost)``, all replicated; ``collect_metrics`` appends a dict of
+    psum'd per-solve health scalars (SURVEY §5 metrics row).
     """
     n_shards = mesh.shape[axis]
     if N % n_shards:
         raise ValueError(f"N={N} not divisible by {n_shards} shards")
     n_local = N // n_shards
     core = make_covo_local_core(env, H, lam, engine=engine,
-                                interpret=interpret, rng=rng)
+                                interpret=interpret, rng=rng,
+                                collect_metrics=collect_metrics)
 
     def local_solve(x0, t0, pos_traj, vel_traj, mean_flat, factor,
                     gamma_mean, discount, params, act_key, step_key):
@@ -357,11 +383,16 @@ def make_sharded_covo_sample_rollout(env, mesh, N: int, H: int, lam: float,
               gamma_mean, discount, params, act_key, step_key):
         args = (x0, t0, pos_traj, vel_traj, mean_flat, factor,
                 gamma_mean, discount, params, act_key, step_key)
+        out_specs = (P(), P())
+        if collect_metrics:
+            out_specs = out_specs + (
+                {k: P() for k in ("cost_min", "cost_mean", "cost_max", "ess")},
+            )
         return jax.shard_map(
             local_solve,
             mesh=mesh,
             in_specs=_replicated_specs(args),
-            out_specs=(P(), P()),
+            out_specs=out_specs,
             # see make_sharded_mppi_solve: interpret-mode vma workaround
             check_vma=not (engine == "pallas" and interpret),
         )(*args)
@@ -375,7 +406,8 @@ def make_distributed_covo_solve(env, mesh, N: int, H: int, lam: float,
                                 engine: str = "jnp",
                                 interpret: bool = False,
                                 hessian_primal: str | None = None,
-                                rng: str = "invariant"):
+                                rng: str = "invariant",
+                                collect_metrics: bool = False):
     """Full distributed CoVO-online solve: replicated Σ design + sharded
     sample/rollout/reduce — the flagship configuration spread over a mesh.
 
@@ -394,14 +426,18 @@ def make_distributed_covo_solve(env, mesh, N: int, H: int, lam: float,
 
     Returns ``solve(x0, t0, pos_traj, vel_traj, a_mean (H, dA), params,
     rng, gamma_mean=1.0, discount=1.0) -> (a_mean_new (H, dA),
-    min_cost)``, all replicated.
+    min_cost)``, all replicated. ``collect_metrics`` appends a dict of
+    per-solve health scalars: ESS + cost min/mean/max assembled from
+    psum'd shard partials inside the core, plus Σ conditioning computed
+    once on the replicated designer output (SURVEY §5 metrics row;
+    single-chip counterpart: solvers/covo.py collect_metrics).
     """
     from covo_mpc_tpu.ops import covariance
     from covo_mpc_tpu.ops.hessian import make_hessian_adjoint
 
     core = make_sharded_covo_sample_rollout(
         env, mesh, N, H, lam, axis=axis, engine=engine, interpret=interpret,
-        rng=rng,
+        rng=rng, collect_metrics=collect_metrics,
     )
     # in-kernel primal pairs with the fused rollout engine (solvers/covo.py)
     primal = hessian_primal or (
@@ -418,12 +454,20 @@ def make_distributed_covo_solve(env, mesh, N: int, H: int, lam: float,
         # matches CoVOSolver.__call__
         a_mean = jnp.concatenate([a_mean[1:], a_mean[-1:]])
         R = hess(a_mean.flatten(), x0, t0, pos_traj, vel_traj, params, rng)
-        _, factor = covariance.optimize_sigma_ns(R, sample_sigma, D)
+        a_cov, factor = covariance.optimize_sigma_ns(R, sample_sigma, D)
         rng, act_key = jax.random.split(rng)
         rng, step_key = jax.random.split(rng)
-        return core(
+        out = core(
             x0, t0, pos_traj, vel_traj, a_mean.flatten(), factor,
             gamma_mean, discount, params, act_key, step_key,
         )
+        if collect_metrics:
+            from covo_mpc_tpu.runtime.metrics import sigma_metrics
+
+            a_mean_new, min_cost, metrics = out
+            # Σ health computed once on the replicated designer output —
+            # O(D^2) like the design itself, no extra communication
+            return a_mean_new, min_cost, {**metrics, **sigma_metrics(a_cov)}
+        return out
 
     return solve

@@ -28,6 +28,32 @@ def solve_metrics(costs: jnp.ndarray, weights: jnp.ndarray) -> dict:
     }
 
 
+def solve_metrics_sharded(costs, weights, axis, n_total) -> dict:
+    """:func:`solve_metrics` from inside shard_map: each shard holds its
+    slice of the sample axis; the global statistics are assembled from
+    psum/pmin/pmax of shard-local partials (a handful of scalars on the
+    wire — the same sufficient-statistics pattern as the solve itself,
+    parallel/sharded.py). ``weights`` must already be globally normalized.
+    The exact global p90 needs a full sort and is replaced by cost_max —
+    min/mean/max bracket the cost distribution at collective cost O(1).
+    """
+    from jax import lax
+
+    if axis is None:
+        return {
+            "cost_min": jnp.min(costs),
+            "cost_mean": jnp.mean(costs),
+            "cost_max": jnp.max(costs),
+            "ess": 1.0 / jnp.sum(weights**2),
+        }
+    return {
+        "cost_min": lax.pmin(jnp.min(costs), axis),
+        "cost_mean": lax.psum(jnp.sum(costs), axis) / n_total,
+        "cost_max": lax.pmax(jnp.max(costs), axis),
+        "ess": 1.0 / lax.psum(jnp.sum(weights**2), axis),
+    }
+
+
 def sigma_metrics(a_cov: jnp.ndarray) -> dict:
     """Conditioning of the sampling covariance (CoVO Σ health)."""
     eigs = jnp.linalg.eigvalsh(a_cov)

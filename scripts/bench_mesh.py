@@ -74,6 +74,13 @@ def parse_args():
                     help="also bench the two-stage speculative pipeline "
                          "(act + Σ-design on separate chips, "
                          "parallel/pipeline.py) on the first two devices")
+    ap.add_argument("--metrics", default="",
+                    help="write per-solve health metrics (ESS, cost "
+                         "min/mean/max, Σ conditioning — psum'd from the "
+                         "shard partials) for a short mesh episode as "
+                         "JSONL to this path")
+    ap.add_argument("--metrics-steps", type=int, default=32,
+                    help="episode length for --metrics")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (plumbing smoke test; pair "
                          "with XLA_FLAGS=--xla_force_host_platform_device_"
@@ -381,6 +388,54 @@ def bench_pipeline(env, args):
     return [row]
 
 
+def emit_metrics_episode(env, args, shards, path, steps=32):
+    """Run a short control episode of distributed CoVO solves with
+    collect_metrics=True and write one JSONL health record per solve
+    (SURVEY §5 metrics row on the distributed path — the single-chip
+    counterpart is `cli.py --metrics`). Returns the stacked metric arrays.
+    """
+    from covo_mpc_tpu.models.structs import pack_state
+    from covo_mpc_tpu.parallel import make_mesh
+    from covo_mpc_tpu.parallel.sharded import make_distributed_covo_solve
+    from covo_mpc_tpu.runtime.metrics import MetricsLogger
+    from covo_mpc_tpu.solvers import hover_sequence
+
+    params = env.default_params
+    _, _, state = env.reset_env(jax.random.PRNGKey(0), params)
+    x0 = pack_state(state)
+    engine, interpret = resolve_engine(args.engine, args.n // shards)
+    rng_mode = args.rng if engine == "pallas" else "invariant"
+    mesh = make_mesh(samples=shards, scenarios=1,
+                     devices=jax.devices()[:shards])
+    solve = make_distributed_covo_solve(
+        env, mesh, N=args.n, H=args.h, lam=args.lam,
+        engine=engine, interpret=interpret, rng=rng_mode,
+        collect_metrics=True,
+    )
+
+    def one(carry, _):
+        a_mean, rng = carry
+        rng, sub = jax.random.split(rng)
+        a_mean, min_cost, metrics = solve(
+            x0, state.time, state.pos_traj, state.vel_traj,
+            a_mean, params, sub,
+        )
+        return (a_mean, rng), metrics
+
+    _, metrics = jax.jit(
+        lambda: lax.scan(one, (hover_sequence(env, args.h),
+                               jax.random.PRNGKey(11)), None, length=steps)
+    )()
+    logger = MetricsLogger(path)
+    for t in range(steps):
+        logger.log(step=t, shards=shards,
+                   **{k: v[t] for k, v in metrics.items()})
+    logger.close()
+    print(f"[mesh] wrote {steps} per-solve health records "
+          f"(shards={shards}) to {path}", file=sys.stderr)
+    return metrics
+
+
 def main():
     args = parse_args()
     if args.cpu:
@@ -427,6 +482,10 @@ def main():
                   file=sys.stderr)
         else:
             rows += bench_pipeline(env, args)
+
+    if args.metrics:
+        emit_metrics_episode(env, args, shard_counts[-1], args.metrics,
+                             steps=args.metrics_steps)
 
     for r in rows:
         print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
