@@ -222,7 +222,7 @@ def bench_speculative(env, args, k: int = 32, rng_mode=None,
     if hessian_mode != "adjoint":
         tag = f"{tag}+{hessian_mode}"
     print(
-        f"[bench] covo_spec    engine={tag:6s} N={args.n} H={args.h}: "
+        f"[bench] covo_spec    engine={tag:16s} N={args.n} H={args.h}: "
         f"act {per_act*1e3:7.3f} ms obs->action "
         f"({1.0/per_act:7.1f}/s), full step {per_full*1e3:7.3f} ms "
         f"({1.0/per_full:7.1f}/s)",
@@ -377,7 +377,7 @@ def main():
         if sigma_mode != "ns":
             tag = f"{tag}+{sigma_mode}"
         print(
-            f"[bench] {controller:12s} engine={tag:6s} N={args.n} H={args.h}: "
+            f"[bench] {controller:12s} engine={tag:16s} N={args.n} H={args.h}: "
             f"{per_solve*1e3:7.3f} ms/solve -> {rate:7.1f} solves/s/chip "
             f"(dispatch overhead {overhead*1e3:.1f} ms, "
             f"20ms budget: {'PASS' if per_solve < 0.02 else 'FAIL'})",

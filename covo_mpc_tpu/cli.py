@@ -95,7 +95,8 @@ def main(argv=None) -> int:
         if metrics_path:
             print(f"metrics: {metrics_path}")
     elif cfg.mode == "render":
-        trace = render_episode(env, solver, seed=cfg.seed)
+        trace = render_episode(env, solver, seed=cfg.seed,
+                               reset_on_done=cfg.render_reset_on_done)
         out = save_trace(trace, f"{cfg.results_dir}/trace_{name}.npz")
         png = plot_episode(trace, env.default_params.dt,
                            f"{cfg.results_dir}/render_{name}.png", name)

@@ -32,6 +32,9 @@ class RunConfig:
     hessian_mode: str = "auto"  # auto | fwd_fwd (reference) | fwd_rev | sensitivity | adjoint | gn (Gauss-Newton)
     engine: str = "auto"  # auto | jnp | pallas (fused rollout kernel; TPU only)
     sigma_mode: str = "auto"  # auto | eigh | ns | ns_pallas (NS = matmul-only designer)
+    # render mode: re-sample env params + reset the controller whenever an
+    # episode ends inside the recording (reference: quadrotor.py:633-640)
+    render_reset_on_done: bool = False
     total_steps: int = 300 * 4 * 10
     seed: int = 1
     results_dir: str = "results"

@@ -33,9 +33,22 @@ def render_episode(
     seed: int = 1,
     steps: Optional[int] = None,
     env_params=None,
+    reset_on_done: bool = False,
 ):
     """Run one recorded episode. Returns a dict of stacked arrays with keys
-    RECORD_FIELDS + reward/done/err_pos, each shaped (T, ...)."""
+    RECORD_FIELDS + reward/done/err_pos, each shaped (T, ...).
+
+    ``reset_on_done`` reproduces the reference harness's mid-recording
+    resets (reference: quadrotor.py:633-640): every time an episode ends
+    inside the recording, re-sample the env params and reset the
+    controller — with the reference's exact key-split chain and arguments
+    (the PRE-step state, the CURRENT control params, the NEW params).
+    Note the auto-reset inside ``env.step`` has already re-initialized the
+    episode state under the OLD params (reference: base.py:31-39); the new
+    draw takes effect from the following step, as in the reference. Off by
+    default: recordings are usually single-episode (under the CLI defaults
+    dones only occur at the time limit), and the env params stay fixed.
+    """
     T = steps or env.default_params.max_steps_in_episode
     rng = jax.random.PRNGKey(seed)
     rng, rng_params = jax.random.split(rng)
@@ -50,7 +63,7 @@ def render_episode(
     )
 
     def step(carry, _):
-        obs, state, rng, control_params, info = carry
+        obs, state, rng, env_params, control_params, info = carry
         record = {f: getattr(state, f) for f in RECORD_FIELDS}
         rng, rng_act, rng_step = jax.random.split(rng, 3)
         action, control_params, _ = controller(
@@ -59,18 +72,38 @@ def render_episode(
         next_obs, next_state, reward, done, next_info = env.step(
             rng_step, state, action, env_params
         )
+        if reset_on_done:
+            def on_done(args):
+                rng, env_params, control_params = args
+                # reference key chain on done (quadrotor.py:633-640)
+                rng, rng_params = jax.random.split(rng)
+                new_params = env.sample_params(rng_params)
+                rng, rng_control = jax.random.split(rng)
+                new_cp = controller.reset(
+                    state, new_params, control_params, rng_control
+                )
+                return rng, new_params, new_cp
+
+            rng, env_params, control_params = lax.cond(
+                done, on_done, lambda args: args,
+                (rng, env_params, control_params),
+            )
         record.update(
             reward=reward, done=done, err_pos=info["err_pos"], action=action
         )
-        return (next_obs, next_state, rng, control_params, next_info), record
+        return (
+            next_obs, next_state, rng, env_params, control_params, next_info
+        ), record
 
     @jax.jit
-    def run(obs, state, rng, control_params, info):
-        _, records = lax.scan(step, (obs, state, rng, control_params, info),
-                              None, length=T)
+    def run(obs, state, rng, env_params, control_params, info):
+        _, records = lax.scan(
+            step, (obs, state, rng, env_params, control_params, info),
+            None, length=T,
+        )
         return records
 
-    records = run(obs, state, rng, control_params, info)
+    records = run(obs, state, rng, env_params, control_params, info)
     return {k: np.asarray(v) for k, v in records.items()}
 
 

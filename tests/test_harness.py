@@ -102,6 +102,38 @@ def test_render_trace_roundtrip(tmp_path):
     np.testing.assert_allclose(loaded["pos"], trace["pos"])
 
 
+def test_render_reset_on_done():
+    """Mid-recording resets (reference: quadrotor.py:633-640): when an
+    episode ends inside the recording, the env params are re-sampled and
+    the controller reset — the traces must agree up to the first done and
+    diverge after it."""
+    from covo_mpc_tpu.models import EnvConfig, QuadEnv
+
+    env = QuadEnv(
+        EnvConfig(
+            task="tracking", enable_randomizer=True, disturb_type="gaussian",
+            disable_rollover_terminate=True, generate_noisy_state=True,
+        )
+    )
+    # shrink the episode so a done lands mid-recording
+    short = env.default_params.replace(max_steps_in_episode=10)
+    solver, _ = get_solver(env, "mppi", "N8_H3_lam0.01")
+    kw = dict(seed=1, steps=25, env_params=short)
+    t_plain = render_episode(env, solver, reset_on_done=False, **kw)
+    t_reset = render_episode(env, solver, reset_on_done=True, **kw)
+    done_at = int(np.argmax(t_plain["done"]))
+    assert t_plain["done"][done_at]
+    # identical recordings through the first done step...
+    np.testing.assert_allclose(t_reset["pos"][: done_at + 1],
+                               t_plain["pos"][: done_at + 1])
+    np.testing.assert_allclose(t_reset["action"][: done_at + 1],
+                               t_plain["action"][: done_at + 1])
+    # ...divergent afterwards (new params + controller reset)
+    assert not np.allclose(t_reset["action"][done_at + 1:],
+                           t_plain["action"][done_at + 1:])
+    assert np.isfinite(t_reset["pos"]).all()
+
+
 def test_plot_episode(tmp_path):
     env = make_env()
     solver, _ = get_solver(env, "pid")
