@@ -43,6 +43,7 @@ from covo_mpc_tpu.models import dynamics
 from covo_mpc_tpu.models.structs import FDIST, VEL
 from covo_mpc_tpu.ops import covariance
 from covo_mpc_tpu.ops.hessian import make_hessian_adjoint
+from covo_mpc_tpu.parallel.mesh import SAMPLE_AXIS
 from covo_mpc_tpu.parallel.sharded import make_covo_local_core
 from covo_mpc_tpu.utils.vma import pvary
 
@@ -52,13 +53,23 @@ ACT_STAGE = 0  # pipe index running sample/rollout/update
 DESIGN_STAGE = 1  # pipe index running Hessian + Σ-designer
 
 
-def make_pipeline_mesh(devices=None) -> Mesh:
-    """Two-device mesh with the ``pipe`` axis. Pick two ICI-adjacent chips:
-    the per-step exchange is a latency-bound 66 KB all-reduce."""
+def make_pipeline_mesh(devices=None, samples: int = 1) -> Mesh:
+    """(pipe=2[, samples=k]) mesh for the speculative pipeline. Pick
+    ICI-adjacent chips: the per-step exchange is a latency-bound 66 KB
+    all-reduce. ``samples > 1`` adds a sample-sharding axis under the act
+    stage (the natural 3-4 chip configuration: the act row's N rollout
+    samples split over k chips while the design row runs concurrently);
+    devices are laid out row-major so each pipe row is contiguous."""
     devices = list(devices if devices is not None else jax.devices())
-    if len(devices) < 2:
-        raise ValueError("the speculative pipeline needs two devices")
-    return Mesh(np.array(devices[:2]), (PIPE_AXIS,))
+    if len(devices) < 2 * samples:
+        raise ValueError(
+            f"the pipeline mesh needs {2 * samples} devices "
+            f"(pipe=2 x samples={samples}); got {len(devices)}"
+        )
+    if samples == 1:
+        return Mesh(np.array(devices[:2]), (PIPE_AXIS,))
+    grid = np.array(devices[: 2 * samples]).reshape(2, samples)
+    return Mesh(grid, (PIPE_AXIS, SAMPLE_AXIS))
 
 
 def make_pipeline_step(
@@ -87,12 +98,27 @@ def make_pipeline_step(
     ``engine``/``rng`` select the act stage's rollout/sampler exactly as in
     :func:`covo_mpc_tpu.parallel.sharded.make_sharded_covo_sample_rollout`
     ("kernel" draws inside the fused kernel — fastest, TPU only).
+
+    When the mesh also carries a ``samples`` axis of size k (built via
+    ``make_pipeline_mesh(samples=k)``), the act stage's N rollout samples
+    shard over the k chips of the pipe-0 row (global-id invariant draws +
+    pmin/psum within the row — the same sufficient-statistics layout as
+    parallel/sharded.py) while the pipe-1 row designs the next factor
+    concurrently (redundantly across its k chips; the design is O(D²) and
+    cheaper to replicate than to communicate). With the invariant sampler
+    the result is EXACTLY the 2-chip pipeline's at any k (pinned in
+    tests/test_pipeline.py).
     """
     if mesh.shape[axis] != 2:
         raise ValueError(
             f"the speculative pipeline has exactly two stages; mesh axis "
             f"{axis!r} has size {mesh.shape[axis]}"
         )
+    sample_axis = SAMPLE_AXIS if SAMPLE_AXIS in mesh.shape else None
+    k_shards = mesh.shape[sample_axis] if sample_axis else 1
+    if N % k_shards:
+        raise ValueError(f"N={N} not divisible by {k_shards} sample shards")
+    n_local = N // k_shards
     dA = env.action_dim
     D = H * dA
     dt = env._dt
@@ -119,9 +145,11 @@ def make_pipeline_step(
     def local_step(x0, t0, pos_traj, vel_traj, a_mean, factor, params, key,
                    gamma_mean, discount):
         stage = lax.axis_index(axis)
-        # the mesh axes per-device values vary over: {pipe} under
-        # check_vma, empty in interpret mode (check_vma=False)
-        vary = tuple(getattr(jax.typeof(stage), "vma", frozenset()))
+        sshard = lax.axis_index(sample_axis) if sample_axis else None
+        # the mesh axes per-device values vary over: {pipe[, samples]}
+        # under check_vma, empty in interpret mode (check_vma=False)
+        probe = stage if sshard is None else stage + sshard
+        vary = tuple(getattr(jax.typeof(probe), "vma", frozenset()))
         # receding-horizon shift, shared by both stages (reference:
         # covo.py:201-203). Key derivation is this mode's own 3-way split
         # (NOT CoVOSolver.act/prepare's chain — the pipeline is a distinct
@@ -133,13 +161,22 @@ def make_pipeline_step(
 
         def act_branch(_):
             # CoVOSolver.act semantics on the full N (sample/rollout/update
-            # with LAST step's factor) — the shared single-shard core,
-            # reduced locally (axis=None: the act stage holds all N)
+            # with LAST step's factor) — the shared core. Unsharded
+            # (axis=None) the act stage holds all N; on a (2, k) mesh the
+            # act row's samples shard with global-id invariant draws and
+            # pmin/psum within the row (the row IS the sample_axis group).
+            if sample_axis:
+                ids = sshard * n_local + jnp.arange(n_local)
+                shard_key = jax.random.fold_in(k_act, sshard)
+            else:
+                ids = jnp.arange(N)
+                shard_key = k_act
             a_new, min_cost = act_core(
                 x0, t0, pos_traj, vel_traj, mean_flat, factor,
                 gamma_mean, discount, params, k_act, k_step,
-                n_local=N, ids=jnp.arange(N),
-                shard_key=pvary(k_act, vary), vary=vary, axis=None,
+                n_local=n_local, ids=ids,
+                shard_key=pvary(shard_key, vary), vary=vary,
+                axis=sample_axis,
             )
             return a_new, pvary(jnp.zeros((D, D), factor.dtype), vary), min_cost
 
@@ -186,13 +223,24 @@ def make_pipeline_step(
             stage == ACT_STAGE, _vary_out(act_branch),
             _vary_out(design_branch), None,
         )
-        # replicate each stage's product to the other chip: a masked psum
-        # over the two-element pipe axis is one tiny all-reduce AND lets
-        # shard_map prove the outputs replicated (out_specs=P())
-        is_act = (stage == ACT_STAGE).astype(a_new.dtype)
-        a_out = lax.psum(a_new * is_act, axis)
-        mc_out = lax.psum(min_cost * (stage == ACT_STAGE), axis)
-        f_out = lax.psum(f_next * (1.0 - is_act), axis)
+        # replicate each stage's product to the other chip(s): a masked
+        # psum is one tiny all-reduce AND lets shard_map prove the outputs
+        # replicated (out_specs=P()). On a (2, k) mesh exactly one device
+        # contributes each product (sample-shard 0 of its row — the act
+        # row's update is already row-replicated by the core's psum, the
+        # design row's factor is computed redundantly), reduced over BOTH
+        # axes.
+        if sample_axis:
+            axes = (axis, sample_axis)
+            pick_act = (stage == ACT_STAGE) & (sshard == 0)
+            pick_des = (stage == DESIGN_STAGE) & (sshard == 0)
+        else:
+            axes = axis
+            pick_act = stage == ACT_STAGE
+            pick_des = stage == DESIGN_STAGE
+        a_out = lax.psum(a_new * pick_act.astype(a_new.dtype), axes)
+        mc_out = lax.psum(min_cost * pick_act, axes)
+        f_out = lax.psum(f_next * pick_des.astype(f_next.dtype), axes)
         return a_out, f_out, mc_out
 
     def step(x0, t0, pos_traj, vel_traj, a_mean, factor, params, key,

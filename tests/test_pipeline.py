@@ -108,6 +108,45 @@ def test_pipeline_matches_sequential_oracle(setup):
     np.testing.assert_allclose(f_next, ref_f, atol=1e-4)
 
 
+@pytest.mark.parametrize("engine", ["jnp", "pallas_interpret"])
+def test_pipeline_sample_sharded_matches_two_chip(setup, engine):
+    """(pipe=2, samples=2) mesh — the act row's samples sharded over 2
+    chips while the design row runs concurrently — equals the 2-chip
+    pipeline exactly (invariant rng; round-2 verdict item 6)."""
+    env, params, state = setup
+    a_mean = hover_sequence(env, H)
+    x0 = pack_state(state)
+    key0, key1 = jax.random.split(jax.random.PRNGKey(3))
+    factor = make_init_factor(env, H, SIGMA)(
+        x0, state.time, state.pos_traj, state.vel_traj, a_mean, params, key0
+    )
+    kw = dict(N=N, H=H, lam=LAM, sample_sigma=SIGMA)
+    if engine == "pallas_interpret":
+        kw.update(engine="pallas", interpret=True)
+    args = (x0, state.time, state.pos_traj, state.vel_traj, a_mean, factor,
+            params, key1)
+
+    step2 = make_pipeline_step(env, make_pipeline_mesh(jax.devices()[:2]),
+                               **kw)
+    step4 = make_pipeline_step(
+        env, make_pipeline_mesh(jax.devices()[:4], samples=2), **kw
+    )
+    a2, f2, mc2 = step2(*args)
+    a4, f4, mc4 = step4(*args)
+    np.testing.assert_allclose(a4, a2, atol=1e-6)
+    np.testing.assert_allclose(f4, f2, atol=1e-6)
+    np.testing.assert_allclose(mc4, mc2, atol=1e-6)
+
+
+def test_pipeline_sharded_rejects_indivisible_n(setup):
+    env, _, _ = setup
+    with pytest.raises(ValueError, match="not divisible"):
+        make_pipeline_step(
+            env, make_pipeline_mesh(jax.devices()[:6], samples=3),
+            N=N, H=H, lam=LAM,
+        )
+
+
 def test_pipeline_closed_loop_tracks(setup):
     env, params, state = setup
     mesh = make_pipeline_mesh(jax.devices()[:2])
