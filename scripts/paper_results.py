@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--n", type=int, default=8192)
     ap.add_argument("--h", type=int, default=32)
     ap.add_argument("--task", default="tracking_zigzag")
+    ap.add_argument("--disturb-type", default="gaussian",
+                    choices=["gaussian", "none", "sin", "periodic", "drag",
+                             "mixed"])
     ap.add_argument("--quick", action="store_true",
                     help="1 rep per trajectory instead of 10")
     ap.add_argument("--out", default="RESULTS.md")
@@ -53,7 +56,7 @@ def main():
         EnvConfig(
             task=args.task,
             enable_randomizer=False,
-            disturb_type="gaussian",
+            disturb_type=args.disturb_type,
             disable_rollover_terminate=True,
             generate_noisy_state=True,
         )
@@ -80,7 +83,9 @@ def main():
 
     mppi = next((r for r in rows if r[0] == "mppi"), None)
     lines = [
-        f"# Results — {args.task}, N={args.n}, H={args.h}, lam=0.01, noDR",
+        f"# Results — {args.task}, N={args.n}, H={args.h}, lam=0.01, noDR"
+        + (f", disturb={args.disturb_type}"
+           if args.disturb_type != "gaussian" else ""),
         "",
         f"Protocol: {total_steps//300} episodes = 4 fixed trajectories x "
         f"{total_steps//1200} reps x 300 steps @ 50 Hz "
