@@ -227,7 +227,8 @@ def make_multichip_control_step(env, mesh, N: int, H: int, lam: float,
 
 def make_batched_covo_solve(env, N: int, H: int, lam: float,
                             sample_sigma: float = 0.5,
-                            interpret: bool = False, rng: str = "fast"):
+                            interpret: bool = False, rng: str = "fast",
+                            collect_metrics: bool = False):
     """Scenario-batched CoVO-online solve on ONE device — the per-chip
     building block of the pod configuration (BASELINE config #5: 1024 DR
     scenarios x CoVO-online N=8192, scenarios sharded across chips).
@@ -321,13 +322,29 @@ def make_batched_covo_solve(env, N: int, H: int, lam: float,
                 w, a.reshape(H, dA, -1), m, gamma_mean
             )
         )(weights, a_t, a_means)
+        if collect_metrics:
+            # per-scenario health records (SURVEY §5 metrics row on the
+            # batched path; single-chip counterpart: solvers/covo.py)
+            from covo_mpc_tpu.runtime.metrics import (
+                sigma_metrics,
+                solve_metrics_sharded,
+            )
+
+            metrics = jax.vmap(
+                lambda c, w: solve_metrics_sharded(c, w, None, N)
+            )(costs, weights)
+            sig = jax.vmap(
+                lambda f: sigma_metrics(f @ f.T)
+            )(factors)
+            return a_means_new, jnp.min(costs, axis=1), {**metrics, **sig}
         return a_means_new, jnp.min(costs, axis=1)
 
     return jax.jit(solve)
 
 
 def make_batched_mppi_solve(env, N: int, H: int, lam: float,
-                            interpret: bool = False, rng: str = "fast"):
+                            interpret: bool = False, rng: str = "fast",
+                            collect_metrics: bool = False):
     """Scenario-batched MPPI solve on ONE device — the MPPI counterpart of
     :func:`make_batched_covo_solve` (B domain-randomized episodes amortize
     the solve's serial latency; the fused batched rollout kernel runs a
@@ -394,6 +411,13 @@ def make_batched_mppi_solve(env, N: int, H: int, lam: float,
         a_covs_new = jax.vmap(
             lambda w, a, m, c: reductions.cov_update_t(w, a, m, c, gamma_sigma)
         )(weights, a_t, a_means_new, a_covs)
+        if collect_metrics:
+            from covo_mpc_tpu.runtime.metrics import solve_metrics_sharded
+
+            metrics = jax.vmap(
+                lambda c, w: solve_metrics_sharded(c, w, None, N)
+            )(costs, weights)
+            return a_means_new, a_covs_new, jnp.min(costs, axis=1), metrics
         return a_means_new, a_covs_new, jnp.min(costs, axis=1)
 
     return jax.jit(solve)

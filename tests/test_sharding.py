@@ -555,6 +555,52 @@ def test_distributed_metrics(setup):
     assert float(metrics["cost_min"]) == pytest.approx(float(min_c))
 
 
+def test_batched_cores_metrics(setup):
+    """collect_metrics on the scenario-batched cores: per-scenario health
+    dicts (B,) — finite and consistent with the returned min costs."""
+    from covo_mpc_tpu.parallel.scenarios import (
+        make_batched_covo_solve,
+        make_batched_mppi_solve,
+    )
+
+    env, params, _ = setup
+    B, NB, HB = 2, 64, 4
+    keys = jax.random.split(jax.random.PRNGKey(5), B)
+    params_b = jax.vmap(env.sample_params)(keys)
+    resets = [
+        env.reset_env(jax.random.fold_in(jax.random.PRNGKey(7), b),
+                      jax.tree.map(lambda x: x[b], params_b))[2]
+        for b in range(B)
+    ]
+    x0s = jnp.stack([pack_state(s) for s in resets])
+    t0s = jnp.stack([s.time for s in resets])
+    pos_trajs = jnp.stack([s.pos_traj for s in resets])
+    vel_trajs = jnp.stack([s.vel_traj for s in resets])
+    a_means = jnp.stack([hover_sequence(env, HB)] * B)
+    key = jax.random.PRNGKey(3)
+
+    solve_c = make_batched_covo_solve(env, NB, HB, 0.01, interpret=True,
+                                      collect_metrics=True)
+    _, min_c, metrics = solve_c(x0s, t0s, pos_trajs, vel_trajs, a_means,
+                                params_b, key)
+    assert set(metrics) == {"cost_min", "cost_mean", "cost_max", "ess",
+                            "sigma_cond", "sigma_logdet"}
+    for k, v in metrics.items():
+        assert v.shape == (B,)
+        assert bool(jnp.isfinite(v).all()), k
+    np.testing.assert_allclose(metrics["cost_min"], min_c, atol=1e-5)
+
+    a_covs = jnp.tile(jnp.eye(4)[None, None] * 0.25, (B, HB, 1, 1))
+    solve_m = make_batched_mppi_solve(env, NB, HB, 0.01, interpret=True,
+                                      collect_metrics=True)
+    _, _, min_m, metrics_m = solve_m(x0s, t0s, pos_trajs, vel_trajs,
+                                     a_means, a_covs, params_b, key)
+    assert set(metrics_m) == {"cost_min", "cost_mean", "cost_max", "ess"}
+    for k, v in metrics_m.items():
+        assert bool(jnp.isfinite(v).all()), k
+    np.testing.assert_allclose(metrics_m["cost_min"], min_m, atol=1e-5)
+
+
 def test_bench_mesh_metrics_jsonl(setup, tmp_path):
     """`bench_mesh.py --metrics` episode: per-solve health records from a
     mesh run land as finite JSONL rows."""
