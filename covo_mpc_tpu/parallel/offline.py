@@ -65,9 +65,12 @@ def make_distributed_offline_schedule(solver, mesh, axis: str = SAMPLE_AXIS):
             jax.tree.map(lambda _: P(), env_params),
             P(),
         )
-        covs = jax.shard_map(
-            local, mesh=mesh, in_specs=specs, out_specs=P(axis)
+        covs, factors = jax.shard_map(
+            local, mesh=mesh, in_specs=specs, out_specs=(P(axis), P(axis))
         )(*args)
-        return control_params.replace(a_cov_offline=covs[:max_steps])
+        return control_params.replace(
+            a_cov_offline=covs[:max_steps],
+            a_factor_offline=factors[:max_steps],
+        )
 
     return schedule

@@ -46,6 +46,10 @@ class CoVOParams:
     # speculative mode only: the sampling factor designed LAST step for the
     # current step's Σ (factor @ factor.T == a_cov); None in online/offline
     a_factor: jnp.ndarray = None
+    # offline mode, fast samplers only: the designer's Σ square roots for
+    # the whole schedule, precomputed at reset so the per-solve 128x128
+    # Cholesky disappears from the hot path; None before reset / in parity
+    a_factor_offline: jnp.ndarray = None
 
 
 class CoVOSolver(BaseSolver):
@@ -308,7 +312,9 @@ class CoVOSolver(BaseSolver):
         Hessian + Σ design at one schedule timestep (reference:
         covo.py:72-90). Independent across timesteps — vmapped on one chip
         (:meth:`_reset_offline`), sharded over the mesh by
-        :func:`covo_mpc_tpu.parallel.offline.make_distributed_offline_schedule`."""
+        :func:`covo_mpc_tpu.parallel.offline.make_distributed_offline_schedule`.
+        Returns ``(a_cov, factor)`` — the designer's square root rides
+        along so fast-sampler solves skip the per-step Cholesky."""
 
         def pid_rollout(carry, _):
             st, params, k = carry
@@ -324,8 +330,7 @@ class CoVOSolver(BaseSolver):
             pid_rollout, (state, env_params, key), None, length=self.H
         )
         R = self.get_hessian(state, env_params, a_mean, key)
-        a_cov, _ = self._optimize_sigma(R, sample_sigma, self.D)
-        return a_cov
+        return self._optimize_sigma(R, sample_sigma, self.D)
 
     @partial(jax.jit, static_argnums=(0,))
     def _reset_offline(self, env_state, env_params, control_params, key):
@@ -340,12 +345,13 @@ class CoVOSolver(BaseSolver):
         (identical key chain), ~device-parallel instead of 300x sequential.
         """
         states, keys = self.offline_schedule_inputs(env_state, env_params, key)
-        a_cov_offline = jax.vmap(
+        a_cov_offline, a_factor_offline = jax.vmap(
             lambda s, k: self.offline_sigma_at(
                 s, k, env_params, control_params.sample_sigma
             )
         )(states, keys)
-        return control_params.replace(a_cov_offline=a_cov_offline)
+        return control_params.replace(a_cov_offline=a_cov_offline,
+                                      a_factor_offline=a_factor_offline)
 
     # -- solve --------------------------------------------------------------
     @partial(jax.jit, static_argnums=(0,))
@@ -366,7 +372,14 @@ class CoVOSolver(BaseSolver):
             )
         elif self.mode == "offline":
             a_cov = control_params.a_cov_offline[env_state.time]
-            factor = None
+            # fast samplers draw with the precomputed designer factor;
+            # parity keeps the reference's per-solve Cholesky (bit-compat)
+            factor = (
+                None
+                if (self.rng_mode == sampling.PARITY
+                    or control_params.a_factor_offline is None)
+                else control_params.a_factor_offline[env_state.time]
+            )
         else:  # speculative: Σ was designed LAST step from the predicted state
             a_cov = control_params.a_cov
             factor = control_params.a_factor
