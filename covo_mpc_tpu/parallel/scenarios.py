@@ -228,7 +228,8 @@ def make_multichip_control_step(env, mesh, N: int, H: int, lam: float,
 def make_batched_covo_solve(env, N: int, H: int, lam: float,
                             sample_sigma: float = 0.5,
                             interpret: bool = False, rng: str = "fast",
-                            collect_metrics: bool = False):
+                            collect_metrics: bool = False,
+                            hessian_mode: str = "adjoint"):
     """Scenario-batched CoVO-online solve on ONE device — the per-chip
     building block of the pod configuration (BASELINE config #5: 1024 DR
     scenarios x CoVO-online N=8192, scenarios sharded across chips).
@@ -263,9 +264,15 @@ def make_batched_covo_solve(env, N: int, H: int, lam: float,
 
     dA = env.action_dim
     D = H * dA
+    if hessian_mode not in ("adjoint", "gn"):
+        raise ValueError(f"batched covo supports 'adjoint'/'gn', "
+                         f"got {hessian_mode!r}")
     # scan primal: the B-wide vmap amortizes its launches, and the Pallas
-    # primal kernel cannot vmap over SMEM operands (see solvers/covo.py)
-    hess = make_hessian_adjoint(env, H, primal="scan")
+    # primal kernel cannot vmap over SMEM operands (see solvers/covo.py).
+    # "gn" = Gauss-Newton curvature (quality-gated: RESULTS.md speed-mode
+    # rows)
+    hess = make_hessian_adjoint(env, H, primal="scan",
+                                second_order=hessian_mode == "adjoint")
     rollout_b = make_pallas_rollout_batched(env, interpret=interpret)
     sampler_b = (
         make_pallas_rollout_batched_sampling(env, interpret=interpret,
@@ -427,7 +434,8 @@ def make_multichip_covo_step(env, mesh, N: int, H: int, lam: float,
                              sample_sigma: float = 0.5,
                              engine: str = "jnp",
                              interpret: bool = False,
-                             rng: str = "invariant"):
+                             rng: str = "invariant",
+                             hessian_mode: str = "adjoint"):
     """Distributed CoVO-online control step — BASELINE config #5 proper:
     scenario axis = pure data parallelism (DR episodes), sample axis =
     sharded rollouts with pmin/psum reductions.
@@ -469,9 +477,13 @@ def make_multichip_covo_step(env, mesh, N: int, H: int, lam: float,
     costs_engine = _make_batched_cost_engine(env, engine, interpret)
     # see make_multichip_control_step: kernel-layout sampling on the fast path
     transposed = engine == "pallas"
+    if hessian_mode not in ("adjoint", "gn"):
+        raise ValueError(f"multichip covo supports 'adjoint'/'gn', "
+                         f"got {hessian_mode!r}")
     # scan primal: the local scenario batch vmaps the Hessian, and the
     # Pallas primal kernel cannot vmap over SMEM operands (solvers/covo.py)
-    hess = make_hessian_adjoint(env, H, primal="scan")
+    hess = make_hessian_adjoint(env, H, primal="scan",
+                                second_order=hessian_mode == "adjoint")
     dA = env.action_dim
     D = H * dA
 

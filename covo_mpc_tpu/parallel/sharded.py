@@ -407,7 +407,8 @@ def make_distributed_covo_solve(env, mesh, N: int, H: int, lam: float,
                                 interpret: bool = False,
                                 hessian_primal: str | None = None,
                                 rng: str = "invariant",
-                                collect_metrics: bool = False):
+                                collect_metrics: bool = False,
+                                hessian_mode: str = "adjoint"):
     """Full distributed CoVO-online solve: replicated Σ design + sharded
     sample/rollout/reduce — the flagship configuration spread over a mesh.
 
@@ -445,7 +446,13 @@ def make_distributed_covo_solve(env, mesh, N: int, H: int, lam: float,
         else "pallas" if engine == "pallas"
         else "scan"
     )
-    hess = make_hessian_adjoint(env, H, primal=primal)
+    if hessian_mode not in ("adjoint", "gn"):
+        raise ValueError(f"distributed covo supports 'adjoint'/'gn', "
+                         f"got {hessian_mode!r}")
+    # "gn" = Gauss-Newton curvature (quality-gated: RESULTS.md speed-mode
+    # rows — 3.57 cm gn+krng vs the 6.77 cm MPPI anchor)
+    hess = make_hessian_adjoint(env, H, primal=primal,
+                                second_order=hessian_mode == "adjoint")
     D = H * env.action_dim
 
     def solve(x0, t0, pos_traj, vel_traj, a_mean, params, rng,

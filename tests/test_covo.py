@@ -136,6 +136,7 @@ class TestOptimizeSigmaNS:
         rel = np.linalg.norm(np.asarray(c2 - c1)) / np.linalg.norm(np.asarray(c1))
         assert rel < 2e-3
 
+    @pytest.mark.slow
     def test_solver_end_to_end(self):
         env = make_env()
         kwargs = dict(rng_mode=sampling.FAST, hessian_mode="adjoint",
@@ -214,7 +215,10 @@ class TestHessian:
 
 @pytest.mark.skipif(load_reference() is None, reason="reference unavailable")
 class TestSolveParity:
-    @pytest.mark.parametrize("hessian_mode", [covariance.FWD_FWD, covariance.FWD_REV])
+    @pytest.mark.parametrize("hessian_mode", [
+        covariance.FWD_FWD,
+        pytest.param(covariance.FWD_REV, marks=pytest.mark.slow),
+    ])
     def test_online_single_solve(self, hessian_mode):
         ref = load_reference()
         env = make_env()
@@ -238,6 +242,7 @@ class TestSolveParity:
         np.testing.assert_allclose(action, action_r, atol=1e-3)
         np.testing.assert_allclose(cp.a_mean, cp_r.a_mean, atol=1e-3)
 
+    @pytest.mark.slow
     def test_online_multi_step(self):
         ref = load_reference()
         env = make_env()
@@ -292,11 +297,21 @@ class TestSolveParity:
         np.testing.assert_allclose(action, action_r, atol=2e-3)
 
 
+@pytest.mark.slow
 class TestSensitivityHessian:
-    """Second-order sensitivity propagation == nested-jacfwd Hessian."""
+    """Second-order sensitivity propagation == nested-jacfwd Hessian.
+
+    slow tier: redundant independent cross-check of the adjoint estimator
+    (which keeps quick oracle pins)."""
 
     @pytest.mark.parametrize(
-        "disturb", ["gaussian", "none", "periodic", "sin", "drag", "mixed"]
+        "disturb",
+        ["gaussian", "drag", "mixed",
+         # the remaining disturbance tables are constants wired identically
+         # to gaussian's path — slow tier
+         pytest.param("none", marks=pytest.mark.slow),
+         pytest.param("periodic", marks=pytest.mark.slow),
+         pytest.param("sin", marks=pytest.mark.slow)],
     )
     def test_matches_autodiff(self, disturb):
         env = QuadEnv(
@@ -373,7 +388,14 @@ class TestAdjointHessian:
     """Second-order adjoint Hessian == nested-jacfwd Hessian (exact)."""
 
     @pytest.mark.parametrize(
-        "disturb", ["gaussian", "none", "periodic", "sin", "drag", "mixed"]
+        "disturb",
+        ["gaussian", "drag",
+         # the remaining disturbance tables are constants wired through the
+         # same two code paths the quick params pin — slow tier
+         pytest.param("mixed", marks=pytest.mark.slow),
+         pytest.param("none", marks=pytest.mark.slow),
+         pytest.param("periodic", marks=pytest.mark.slow),
+         pytest.param("sin", marks=pytest.mark.slow)],
     )
     def test_matches_autodiff(self, disturb):
         env = QuadEnv(
@@ -421,7 +443,10 @@ class TestAdjointHessian:
         rel = np.linalg.norm(np.asarray(R2 - R1)) / np.linalg.norm(np.asarray(R1))
         assert rel < 1e-5, rel
 
-    @pytest.mark.parametrize("horizon", [4, 32])
+    @pytest.mark.parametrize("horizon", [
+        4,
+        pytest.param(32, marks=pytest.mark.slow),  # same chain, 16x lanes
+    ])
     def test_pallas_tail_matches_scan(self, horizon):
         """Fused forward-sensitivity chain kernel == the XLA scan tail
         (ops/hessian_pallas.make_tail_pullback)."""
@@ -446,6 +471,7 @@ class TestAdjointHessian:
         rel = np.linalg.norm(np.asarray(R2 - R1)) / np.linalg.norm(np.asarray(R1))
         assert rel < 1e-6, rel
 
+    @pytest.mark.slow
     def test_offline_with_pallas_engine(self):
         """Offline mode vmaps the Hessian over the schedule; the Pallas
         primal kernel does not vmap (SMEM operands), so the solver must
@@ -499,7 +525,9 @@ class TestVelocityCoupledHessian:
             )
         )
 
-    @pytest.mark.parametrize("disturb", ["drag", "mixed"])
+    @pytest.mark.parametrize("disturb", [
+        "drag", pytest.param("mixed", marks=pytest.mark.slow),
+    ])
     def test_pallas_tail_sd16(self, disturb):
         """The fused tail kernel generalizes to the 16-dim bank layout."""
         from covo_mpc_tpu.ops.hessian import make_hessian_adjoint
@@ -507,11 +535,11 @@ class TestVelocityCoupledHessian:
         env = self._env(disturb)
         _, info, _ = env.reset_env(jax.random.PRNGKey(11), env.default_params)
         noisy = info["noisy_state"]
-        a = jax.random.normal(jax.random.PRNGKey(7), (8, 4)) * 0.5
+        a = jax.random.normal(jax.random.PRNGKey(7), (4, 4)) * 0.5
         args = (pack_state(noisy), noisy.time, noisy.pos_traj, noisy.vel_traj,
                 env.default_params, jax.random.PRNGKey(9))
-        R1 = make_hessian_adjoint(env, 8, tail="xla")(a.flatten(), *args)
-        R2 = make_hessian_adjoint(env, 8, tail="pallas_interpret")(
+        R1 = make_hessian_adjoint(env, 4, tail="xla")(a.flatten(), *args)
+        R2 = make_hessian_adjoint(env, 4, tail="pallas_interpret")(
             a.flatten(), *args
         )
         rel = np.linalg.norm(np.asarray(R2 - R1)) / np.linalg.norm(np.asarray(R1))
@@ -614,6 +642,7 @@ class TestSpeculative:
             )
         )
 
+    @pytest.mark.slow
     def test_matches_online_when_prediction_exact(self):
         """With exact prediction the speculative solver designs the SAME Σ
         the online solver designs one step later, and the solve consumes
@@ -776,6 +805,7 @@ class TestGaussNewton:
         R_exact = make_hessian_adjoint(env, H)(a_mean.flatten(), *args)
         assert float(jnp.max(jnp.abs(R_gn - R_exact))) > 1e-4
 
+    @pytest.mark.slow
     def test_solver_closed_loop(self):
         """CoVOSolver(hessian_mode='gn') tracks over a few control steps."""
         env = make_env()

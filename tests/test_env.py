@@ -59,7 +59,13 @@ class TestParity:
         np.testing.assert_allclose(info["err_pos"], info_r["err_pos"], atol=1e-6)
         assert_states_close(info["noisy_state"], info_r["noisy_state"], msg="noisy")
 
-    @pytest.mark.parametrize("disturb", ["gaussian", "periodic", "sin", "drag", "none"])
+    @pytest.mark.parametrize("disturb", [
+        "gaussian", "drag",
+        # same step plumbing, different disturbance table — slow tier
+        pytest.param("periodic", marks=pytest.mark.slow),
+        pytest.param("sin", marks=pytest.mark.slow),
+        pytest.param("none", marks=pytest.mark.slow),
+    ])
     def test_step_env_sequence(self, disturb):
         env, ref_env = make_pair(task="tracking", disturb_type=disturb)
         key = jax.random.PRNGKey(5)

@@ -385,8 +385,11 @@ def test_covo_solver_kernel_rng_mode():
     assert float(jnp.max(jnp.abs(cp.a_mean))) > 1e-3
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("joint", [False, True])
 def test_batched_sampling_kernel_matches_plain(joint):
+    # slow tier (101 s for the pair): the batched sampling kernels are
+    # also pinned quick by test_batched_solve_kernel_rng
     """Scenario-batched fused sample+rollout (input_z) == correlate+clip
     outside + the plain batched kernel, for both the per-step (MPPI) and
     joint (CoVO) correlation forms."""
@@ -446,6 +449,7 @@ def test_batched_sampling_kernel_matches_plain(joint):
                                atol=2e-4, rtol=1e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("maker_rng", ["covo", "mppi"])
 def test_batched_solve_kernel_rng(maker_rng):
     """make_batched_{covo,mppi}_solve(rng='kernel') runs end-to-end in

@@ -108,7 +108,12 @@ def test_pipeline_matches_sequential_oracle(setup):
     np.testing.assert_allclose(f_next, ref_f, atol=1e-4)
 
 
-@pytest.mark.parametrize("engine", ["jnp", "pallas_interpret"])
+@pytest.mark.parametrize("engine", [
+    "jnp",
+    # the interpret-mode pallas variant triples the cost; the kernel act
+    # stage is already pinned quick by test_pipeline_pallas_interpret_*
+    pytest.param("pallas_interpret", marks=pytest.mark.slow),
+])
 def test_pipeline_sample_sharded_matches_two_chip(setup, engine):
     """(pipe=2, samples=2) mesh — the act row's samples sharded over 2
     chips while the design row runs concurrently — equals the 2-chip
@@ -147,7 +152,10 @@ def test_pipeline_sharded_rejects_indivisible_n(setup):
         )
 
 
+@pytest.mark.slow
 def test_pipeline_closed_loop_tracks(setup):
+    # slow tier (214 s): the pipeline's semantics are pinned quick by the
+    # sequential-oracle test; this drives a whole episode
     env, params, state = setup
     mesh = make_pipeline_mesh(jax.devices()[:2])
     step = make_pipeline_step(env, mesh, N=N, H=H, lam=LAM, sample_sigma=SIGMA)
@@ -227,6 +235,7 @@ def test_pipeline_pallas_compiled_traces_under_check_vma(setup):
         assert out[1].shape == factor.shape, rng
 
 
+@pytest.mark.slow
 def test_pipeline_kernel_rng_interpret_runs(setup):
     """The fused in-kernel-draw act stage (rng='kernel') executes in
     interpret mode and stays finite/in-range."""

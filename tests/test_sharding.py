@@ -57,7 +57,13 @@ def test_devices_available():
     assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
 
 
-@pytest.mark.parametrize("n_shards", [1, 2, 4, 8])
+@pytest.mark.parametrize("n_shards", [
+    4,
+    # same math at every count (global-id sampling); slow tier sweeps
+    pytest.param(1, marks=pytest.mark.slow),
+    pytest.param(2, marks=pytest.mark.slow),
+    pytest.param(8, marks=pytest.mark.slow),
+])
 def test_sharded_mppi_matches_unsharded(setup, n_shards):
     env, params, state = setup
     mesh = make_mesh(samples=n_shards, scenarios=1,
@@ -138,6 +144,7 @@ def test_scenario_axis_vmap_sharded(setup):
     assert bool(jnp.all(jnp.isfinite(r)))
 
 
+@pytest.mark.slow
 def test_multichip_control_step(setup):
     """Full distributed control step (scenario-DP x sample-sharding)."""
     from covo_mpc_tpu.parallel.scenarios import make_multichip_control_step
@@ -340,6 +347,7 @@ def test_batched_mppi_solve_matches_per_scenario(setup):
                                    np.asarray(expect_cov), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_multichip_covo_step(setup):
     """Distributed CoVO-online step (BASELINE config #5): runs on a
     scenario x sample mesh and is invariant to the sample-shard count."""
@@ -374,7 +382,11 @@ NP_, HP_ = 4096, 4  # pallas tile alignment: n_local % 1024 == 0 at 1/2/4 shards
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("n_shards", [1, 2, 4])
+@pytest.mark.parametrize("n_shards", [
+    2,
+    pytest.param(1, marks=pytest.mark.slow),
+    pytest.param(4, marks=pytest.mark.slow),
+])
 def test_sharded_mppi_pallas_engine(setup, n_shards):
     """The fused Pallas kernel per shard == the jnp engine per shard, at
     every mesh shape (SURVEY §2 parallelism row 1: the distributed path
@@ -515,7 +527,11 @@ def test_distributed_metrics(setup):
     a_mean = hover_sequence(env, H)
 
     outs = {}
-    for shards in (1, 4):
+    # quick tier pins the 4-shard health record; the shards=1 compile for
+    # the invariance comparison rides the slow tier (RUN_SLOW)
+    import os as _os
+    shard_counts = (1, 4) if _os.environ.get("RUN_SLOW") else (4,)
+    for shards in shard_counts:
         mesh = make_mesh(samples=shards, scenarios=1,
                          devices=jax.devices()[:shards])
         solve = make_distributed_covo_solve(
@@ -536,8 +552,9 @@ def test_distributed_metrics(setup):
         assert 1.0 <= float(metrics["ess"]) <= N
         assert float(metrics["sigma_cond"]) >= 1.0
         outs[shards] = {k: float(v) for k, v in metrics.items()}
-    for k in outs[1]:
-        assert outs[4][k] == pytest.approx(outs[1][k], rel=1e-4), k
+    if 1 in outs:
+        for k in outs[1]:
+            assert outs[4][k] == pytest.approx(outs[1][k], rel=1e-4), k
 
     # sharded MPPI core: metrics dict appended, matches the unsharded stats
     mesh = make_mesh(samples=4, scenarios=1, devices=jax.devices()[:4])
@@ -555,6 +572,7 @@ def test_distributed_metrics(setup):
     assert float(metrics["cost_min"]) == pytest.approx(float(min_c))
 
 
+@pytest.mark.slow
 def test_batched_cores_metrics(setup):
     """collect_metrics on the scenario-batched cores: per-scenario health
     dicts (B,) — finite and consistent with the returned min costs."""
@@ -806,6 +824,7 @@ def test_multichip_step_kernel_rng(setup, maker):
     assert float(jnp.max(jnp.abs(a_means2 - a_means))) > 0.0
 
 
+@pytest.mark.slow
 def test_distributed_offline_schedule_matches_single(setup):
     """Sharded phase-2 Σ-schedule precompute == the single-device
     _reset_offline (same phase-1 key chain; timestep axis split over the
