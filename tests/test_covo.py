@@ -200,6 +200,7 @@ class TestHessian:
         )
         np.testing.assert_allclose(R, R_ref, atol=2e-3, rtol=1e-3)
 
+    @pytest.mark.slow
     def test_fwd_rev_matches_fwd_fwd(self):
         env, _, _, _, state, _, a_mean = self._setup()
         key = jax.random.PRNGKey(9)
@@ -387,15 +388,12 @@ class TestSensitivityHessian:
 class TestAdjointHessian:
     """Second-order adjoint Hessian == nested-jacfwd Hessian (exact)."""
 
+    # slow tier: the direct nested-jacfwd oracle comparison; the quick
+    # tier pins the adjoint at solver level (test_solver_end_to_end vs
+    # fwd_fwd, and test_solver_end_to_end_drag for the 16-dim path)
+    @pytest.mark.slow
     @pytest.mark.parametrize(
-        "disturb",
-        ["gaussian", "drag",
-         # the remaining disturbance tables are constants wired through the
-         # same two code paths the quick params pin — slow tier
-         pytest.param("mixed", marks=pytest.mark.slow),
-         pytest.param("none", marks=pytest.mark.slow),
-         pytest.param("periodic", marks=pytest.mark.slow),
-         pytest.param("sin", marks=pytest.mark.slow)],
+        "disturb", ["gaussian", "none", "periodic", "sin", "drag", "mixed"]
     )
     def test_matches_autodiff(self, disturb):
         env = QuadEnv(

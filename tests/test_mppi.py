@@ -144,6 +144,7 @@ class TestSolveParity:
 
 
 class TestStandalone:
+    @pytest.mark.slow
     def test_episode_improves_over_random(self):
         from covo_mpc_tpu.runtime import make_episode_runner
 

@@ -146,7 +146,11 @@ def test_velocity_dependent_disturbances_in_kernel(disturb):
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-5)
 
 
-@pytest.mark.parametrize("n", [16, 384, 1000])
+@pytest.mark.parametrize("n", [
+    1000,  # below-tile AND non-divisible — the interesting padding case
+    pytest.param(16, marks=pytest.mark.slow),
+    pytest.param(384, marks=pytest.mark.slow),
+])
 def test_ragged_sample_counts_tile_padded(n):
     """N below / not divisible by the 1024-sample tile is zero-padded and
     sliced — the fused engine now serves the N-ablation's small N too."""
@@ -178,6 +182,7 @@ def test_atan2_polynomial_accuracy():
     assert float(jnp.max(jnp.abs(got - ref))) < 2e-5
 
 
+@pytest.mark.slow
 def test_solver_engine_consistency():
     """MPPISolver(pallas) == MPPISolver(jnp) end-to-end (same samples)."""
     from covo_mpc_tpu.ops import sampling

@@ -109,9 +109,9 @@ def test_pipeline_matches_sequential_oracle(setup):
 
 
 @pytest.mark.parametrize("engine", [
-    "jnp",
-    # the interpret-mode pallas variant triples the cost; the kernel act
-    # stage is already pinned quick by test_pipeline_pallas_interpret_*
+    # slow tier: the 2-chip pipeline's semantics are pinned quick by the
+    # sequential oracle, and the driver dryrun executes the (2, k) mesh
+    pytest.param("jnp", marks=pytest.mark.slow),
     pytest.param("pallas_interpret", marks=pytest.mark.slow),
 ])
 def test_pipeline_sample_sharded_matches_two_chip(setup, engine):

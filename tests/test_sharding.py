@@ -557,6 +557,10 @@ def test_distributed_metrics(setup):
             assert outs[4][k] == pytest.approx(outs[1][k], rel=1e-4), k
 
     # sharded MPPI core: metrics dict appended, matches the unsharded stats
+    # (slow tier: one metrics-core compile per solver family is enough for
+    # the quick tier; the covo path above is the representative pin)
+    if not _os.environ.get("RUN_SLOW"):
+        return
     mesh = make_mesh(samples=4, scenarios=1, devices=jax.devices()[:4])
     a_cov = jnp.tile(jnp.eye(4)[None] * 0.25, (H, 1, 1))
     solve_m = make_sharded_mppi_solve(env, mesh, N, H, 0.01,
