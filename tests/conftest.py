@@ -22,17 +22,6 @@ if "xla_cpu_parallel_codegen_split_count" not in _flags:
     _flags = (_flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
 os.environ["XLA_FLAGS"] = _flags
 
-# Persistent XLA compilation cache: the suite is compile-dominated on this
-# one-core box, and most test programs are identical across runs — warm
-# reruns skip the XLA backend compile (tracing still runs). The cache dir
-# is gitignored; delete it to force cold compiles.
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"),
-)
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2.0")
-
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -40,6 +29,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: the suite is compile-dominated on this
+# one-core box and most test programs are identical across runs, so warm
+# reruns skip the XLA backend compile (tracing still runs). Must be set via
+# jax.config (this jax version does not read the env-var spelling). The
+# cache dir is gitignored; delete it to force cold compiles.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import pytest
 
