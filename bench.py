@@ -350,6 +350,12 @@ def main():
     if args.wait_tpu > 0:
         wait_for_backend(args.wait_tpu)
 
+    # remote axon compiles are high-variance (23-344 s observed for one
+    # program); reruns load the compiled executable from .jax_cache instead
+    from covo_mpc_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from covo_mpc_tpu.models import EnvConfig, QuadEnv
     from covo_mpc_tpu.ops import covariance, sampling
     from covo_mpc_tpu.solvers import get_solver

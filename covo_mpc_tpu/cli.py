@@ -44,6 +44,10 @@ def main(argv=None) -> int:
 
     import jax
 
+    from covo_mpc_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     if cfg.debug:
         jax.config.update("jax_debug_nans", True)
 

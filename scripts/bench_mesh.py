@@ -438,6 +438,9 @@ def emit_metrics_episode(env, args, shards, path, steps=32):
 
 def main():
     args = parse_args()
+    from covo_mpc_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     if args.cpu:
         # env var alone is not enough on this machine — sitecustomize
         # registers the remote TPU backend in every process

@@ -28,6 +28,10 @@ END = "<!-- mode-gates:end -->"
 def run_matrix(args):
     import jax
 
+    from covo_mpc_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from covo_mpc_tpu.models import EnvConfig, QuadEnv
     from covo_mpc_tpu.runtime import evaluate
     from covo_mpc_tpu.solvers import get_solver

@@ -47,6 +47,10 @@ def main():
 
     import jax
 
+    from covo_mpc_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from covo_mpc_tpu.models import EnvConfig, QuadEnv
     from covo_mpc_tpu.ops import sampling
     from covo_mpc_tpu.runtime import evaluate
