@@ -68,7 +68,7 @@ def _mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
-def _extreme_eig(B: jnp.ndarray, squarings: int) -> jnp.ndarray:
+def _extreme_eig(B: jnp.ndarray, squarings: int, norm_every: int = 3) -> jnp.ndarray:
     """λ_max of symmetric PSD ``B`` by power iteration with repeated squaring.
 
     After ``m`` squarings the spectral weight of eigenvalue λ in
@@ -77,15 +77,41 @@ def _extreme_eig(B: jnp.ndarray, squarings: int) -> jnp.ndarray:
     ``~2^{-m} log``-distance of the top, so the estimate is exact up to the
     width of the top cluster — the right semantics for a spectrum shift.
     Matmul-only (one 128³ matmul per squaring): MXU-bound, no eigh.
+
+    The overflow/underflow normalization runs every ``norm_every`` squarings
+    instead of every squaring: the designer's cost is SEQUENTIAL op-issue
+    latency (each full-matrix norm is a reduction the next matmul waits on),
+    and a block of 3 unnormalized squarings is fp32-safe — after a
+    normalize ``σ_max(M) ≥ D^{-1/2}`` (flattest case M ∝ I/√D), so three
+    squarings keep ``‖M⁸‖_F ≥ σ_max(M)⁸ = D^{-4} ≈ 4e-9`` at D=128, far
+    above the fp32 floor, while squaring a normalized matrix can never
+    overflow (‖M²‖ ≤ ‖M‖² = 1). Rounds ``squarings`` UP to whole blocks
+    (suppression only grows); the Rayleigh quotient is scale-invariant, so
+    the estimate is unchanged up to fp rounding (pinned vs eigh in
+    tests/test_covo.py::TestOptimizeSigmaNS).
+
+    Normalization divides by the norm only when it is strictly positive —
+    NOT by ``‖·‖ + 1e-30``: the additive guard leaves M far below unit
+    norm when ``‖B‖`` is subnormal-small (degenerate R: the norm's
+    sum-of-squares itself underflows to 0), and three unnormalized
+    squarings of a sub-unit M then underflow the NEXT norm to exact zero,
+    exploding that normalize. With the where-guard a zero/underflowed-norm
+    matrix is left as-is and decays to exact 0, whose Rayleigh quotient is
+    a harmless 0; from a genuinely unit-scale block entry,
+    ``‖M⁸‖_F ≥ σ_max⁸ ≥ D⁻⁴`` keeps every norm representable.
     """
+    blocks = -(-squarings // norm_every)
 
-    def square(M, _):
-        M = _mm(M, M)
-        return M / (jnp.linalg.norm(M) + 1e-30), None
+    def _unit(M):
+        n = jnp.linalg.norm(M)
+        return M / jnp.where(n > 0, n, 1.0)
 
-    M, _ = jax.lax.scan(
-        square, B / (jnp.linalg.norm(B) + 1e-30), None, length=squarings
-    )
+    def block(M, _):
+        for _ in range(norm_every):
+            M = _mm(M, M)
+        return _unit(M), None
+
+    M, _ = jax.lax.scan(block, _unit(B), None, length=blocks)
     return jnp.vdot(M, _mm(B, M)) / (jnp.vdot(M, M) + 1e-30)
 
 

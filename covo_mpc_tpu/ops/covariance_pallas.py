@@ -38,14 +38,21 @@ def _fnorm(M):
     return jnp.sqrt(jnp.sum(M * M))
 
 
-def _extreme(B, squarings: int):
-    """λ_max of symmetric PSD B (covariance._extreme_eig, in-kernel)."""
+def _extreme(B, squarings: int, norm_every: int = 3):
+    """λ_max of symmetric PSD B (covariance._extreme_eig, in-kernel —
+    identical block-normalized squaring cadence and max-guard)."""
+    blocks = -(-squarings // norm_every)
 
-    def sq(_, M):
-        M = _dot(M, M)
-        return M / (_fnorm(M) + 1e-30)
+    def _unit(M):
+        n = _fnorm(M)
+        return M / jnp.where(n > 0, n, 1.0)
 
-    M = jax.lax.fori_loop(0, squarings, sq, B / (_fnorm(B) + 1e-30))
+    def block(_, M):
+        for _ in range(norm_every):
+            M = _dot(M, M)
+        return _unit(M)
+
+    M = jax.lax.fori_loop(0, blocks, block, _unit(B))
     BM = _dot(B, M)
     return jnp.sum(M * BM) / (jnp.sum(M * M) + 1e-30)
 
