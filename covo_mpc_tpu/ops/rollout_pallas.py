@@ -282,10 +282,16 @@ def _rollout_kernel(
         m_off = b * (4 * H) if batched else 0
         c_off = b * (16 * H) if batched else 0
         if sample in ("prng", "prng_joint"):
-            # per-(scenario, block) stream: same seed + grid indices ->
-            # disjoint streams
+            # per-(scenario, block) stream: same seed + grid index ->
+            # disjoint streams. The TPU PRNG accepts at most TWO seed
+            # values (Mosaic: "Setting seed with more than 2 values is
+            # not supported" — a hardware-compile error the interpret-mode
+            # CPU tests do not catch), so the batched kernel folds
+            # (scenario, lane-tile) injectively into one 32-bit index.
             if batched:
-                pltpu.prng_seed(gen_ref[0], b, pl.program_id(1))
+                pltpu.prng_seed(
+                    gen_ref[0], b * pl.num_programs(1) + pl.program_id(1)
+                )
             else:
                 pltpu.prng_seed(gen_ref[0], pl.program_id(0))
     m = scal_ref[so + _M]
