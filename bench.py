@@ -231,6 +231,133 @@ def bench_speculative(env, args, k: int = 32, rng_mode=None,
     return 1.0 / per_act
 
 
+def bench_latency(env, args, iters: int = 60, chain: int = 256):
+    """Real-time latency artifact (BASELINE.md p99 row): per-solve latency
+    DISTRIBUTIONS for the covo_online headline mode and the
+    covo_speculative act() path (the obs→action number a 50 Hz deployment
+    pays), recorded three ways so the tunnel is not mis-attributed:
+
+      * device p50/p90/p99 — per-solve times from `iters` dispatches of
+        `chain` solves each; at chain=256 the tunnel's ±2 ms round-trip
+        wobble contributes <10 µs/solve, so the distribution reflects
+        device-side run-to-run variance (the number that matters for a
+        deployment with a locally attached TPU);
+      * host single-dispatch p50/p99 — raw obs→action round trip through
+        THIS box's TPU tunnel (upper bound; dominated by the ~24 ms RTT);
+      * the empty-dispatch RTT distribution, reported separately, so the
+        host numbers can be read as RTT + solve.
+
+    Returns a dict for the JSON line + RESULTS.md table.
+    """
+    from covo_mpc_tpu.ops import sampling
+    from covo_mpc_tpu.runtime.profiling import time_blocking
+    from covo_mpc_tpu.solvers import get_solver
+
+    import numpy as np
+
+    params = env.default_params
+    obs, info, state = env.reset_env(jax.random.PRNGKey(0), params)
+    pstr = f"N{args.n}_H{args.h}_lam0.01"
+
+    rng_mode = sampling.KERNEL if args.engine == "pallas" else sampling.FAST
+
+    def chained_percentiles(fn, cp):
+        """Per-solve seconds distribution from chained dispatches."""
+
+        def make_run(length):
+            def one(carry, _):
+                cp, key = carry
+                key, k_act = jax.random.split(key)
+                action, cp, _ = fn(obs, state, params, k_act, cp, info)
+                return (cp, key), action[0]
+
+            @jax.jit
+            def run(cp, key):
+                (cp, _), outs = lax.scan(one, (cp, key), None, length=length)
+                acc = sum(
+                    jnp.sum(leaf)
+                    for leaf in jax.tree.leaves(cp)
+                    if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating)
+                )
+                return acc + jnp.sum(outs)
+
+            return run
+
+        run = make_run(chain)
+        float(run(cp, jax.random.PRNGKey(1)))  # compile + warm
+        # empty-dispatch RTT distribution (reported separately)
+        @jax.jit
+        def empty(x):
+            return x + 1
+
+        float(empty(jnp.zeros((), jnp.int32)))
+        rtts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(empty(jnp.zeros((), jnp.int32)))
+            rtts.append(time.perf_counter() - t0)
+        rtt_med = float(np.median(rtts))
+        per = []
+        for i in range(iters):
+            key = jax.random.fold_in(jax.random.PRNGKey(2), i)
+            t0 = time.perf_counter()
+            float(run(cp, key))
+            per.append((time.perf_counter() - t0 - rtt_med) / chain)
+        arr = np.sort(np.maximum(np.array(per), 0.0))
+        pct = lambda q: float(np.percentile(arr, q))
+        return (
+            {"p50": pct(50), "p90": pct(90), "p99": pct(99)},
+            {
+                "p50": rtt_med,
+                "p99": float(np.percentile(np.array(rtts), 99)),
+            },
+        )
+
+    out = {}
+
+    # covo_online headline mode (gn + kernel-rng where available)
+    solver, cp = get_solver(
+        env, "covo_online", pstr, rng_mode=rng_mode,
+        hessian_mode=args.hessian_mode, collect_debug=False,
+        engine=args.engine, sigma_mode="ns",
+    )
+    dev, rtt = chained_percentiles(solver, cp)
+    host = time_blocking(
+        lambda key: solver(obs, state, params, key, cp, info)[0],
+        iters=30, warmup=3, key=jax.random.PRNGKey(3),
+    )
+    out["covo_online"] = {"device": dev, "host_dispatch": host, "rtt": rtt}
+
+    # covo_speculative act() path: obs->action with Σ prepared last step
+    spec, cps = get_solver(
+        env, "covo_speculative", pstr, rng_mode=rng_mode,
+        hessian_mode=args.hessian_mode, collect_debug=False,
+        engine=args.engine, sigma_mode="ns",
+    )
+    cps = spec.reset(state, params, cps, jax.random.PRNGKey(7))
+    dev_a, rtt_a = chained_percentiles(spec.act, cps)
+    host_a = time_blocking(
+        lambda key: spec.act(obs, state, params, key, cps, info)[0],
+        iters=30, warmup=3, key=jax.random.PRNGKey(3),
+    )
+    out["covo_speculative_act"] = {
+        "device": dev_a, "host_dispatch": host_a, "rtt": rtt_a,
+    }
+
+    budget = 0.020
+    for name, row in out.items():
+        d, h, r = row["device"], row["host_dispatch"], row["rtt"]
+        print(
+            f"[bench] latency {name:22s}: device p50/p90/p99 = "
+            f"{d['p50']*1e3:.3f}/{d['p90']*1e3:.3f}/{d['p99']*1e3:.3f} ms "
+            f"(20ms budget p99: {'PASS' if d['p99'] < budget else 'FAIL'}); "
+            f"host dispatch p50/p99 = {h['p50']*1e3:.1f}/{h['p99']*1e3:.1f} ms "
+            f"(tunnel RTT p50/p99 = {r['p50']*1e3:.1f}/{r['p99']*1e3:.1f} ms)",
+            file=sys.stderr,
+        )
+    return out
+
+
 def bench_covo_offline(env, args, k: int = 32):
     """CoVO-offline: one-time Σ-schedule precompute (the reference redoes
     this scan at every reset, covo.py:101-112) + steady-state solve rate
@@ -345,6 +472,9 @@ def main():
     ap.add_argument("--wait-tpu", type=float, default=1200.0,
                     help="seconds to wait for the (flaky) TPU tunnel "
                          "before starting; 0 = don't probe")
+    ap.add_argument("--no-latency", action="store_true",
+                    help="skip the p50/p90/p99 latency distribution pass "
+                         "(covo_online + speculative act path)")
     args = ap.parse_args()
 
     if args.wait_tpu > 0:
@@ -476,19 +606,33 @@ def main():
         mode += "+krng"
     if args.hessian_mode != "adjoint":
         mode += f"+{args.hessian_mode}"
-    print(
-        json.dumps(
-            {
-                "metric": f"{args.controller}_solves_per_s_chip_N{args.n}_H{args.h}",
-                "value": round(rate, 2),
-                "unit": "solves/s",
-                "vs_baseline": round(rate / 500.0, 3),
-                # quality gate for the non-parity speed modes: RESULTS.md
-                # "Speed-mode quality gates" (40-episode protocol)
-                "mode": mode,
-            }
+    record = {
+        "metric": f"{args.controller}_solves_per_s_chip_N{args.n}_H{args.h}",
+        "value": round(rate, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(rate / 500.0, 3),
+        # quality gate for the non-parity speed modes: RESULTS.md
+        # "Speed-mode quality gates" (40-episode protocol)
+        "mode": mode,
+    }
+    if not args.no_latency:
+        # real-time latency artifact (BASELINE.md p99 row + the
+        # speculative act path — the obs→action number a 50 Hz
+        # single-plant deployment pays)
+        lat = bench_latency(env, args)
+        dev = lat["covo_online"]["device"]
+        act = lat["covo_speculative_act"]["device"]
+        record.update(
+            p99_ms_device=round(dev["p99"] * 1e3, 4),
+            p50_ms_device=round(dev["p50"] * 1e3, 4),
+            act_p99_ms_device=round(act["p99"] * 1e3, 4),
+            act_solves_per_s=round(1.0 / max(act["p50"], 1e-9), 1),
+            host_dispatch_p99_ms=round(
+                lat["covo_online"]["host_dispatch"]["p99"] * 1e3, 1
+            ),
+            rtt_p50_ms=round(lat["covo_online"]["rtt"]["p50"] * 1e3, 1),
         )
-    )
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

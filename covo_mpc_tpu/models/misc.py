@@ -12,21 +12,9 @@ def angle_normalize(x):
     return ((x + jnp.pi) % (2 * jnp.pi)) - jnp.pi
 
 
-def get_hit_penalty(y, z):
-    """Obstacle-slot hit penalty for the (out-of-scope) jumping task
-    (reference: utils.py:17-31)."""
-    half_width = 0.05
-    half_height = 0.3
-    within_y = jnp.abs(y) < half_width
-    outof_z = jnp.abs(z) > half_height
-    hit = within_y & outof_z
-    return -jnp.clip(
-        hit.astype(jnp.float32)
-        * jnp.minimum(half_width - jnp.abs(y), jnp.abs(z) - half_height)
-        * 500.0,
-        0.0,
-        1.0,
-    )
+# NOTE: the reference's get_hit_penalty (utils.py:17-31) is dead code even
+# there (jumping-task leftover, SURVEY §2 #5) — intentionally NOT reproduced.
+# See MIGRATION.md "Intentional omissions".
 
 
 def constant_disturbance(x, u, params):

@@ -22,7 +22,7 @@ import numpy as np
 from jax import lax
 
 RECORD_FIELDS = (
-    "pos", "vel", "quat", "omega", "pos_tar", "vel_tar",
+    "pos", "vel", "quat", "omega", "omega_tar", "pos_tar", "vel_tar",
     "last_thrust", "last_torque", "f_disturb", "time",
 )
 

@@ -1,9 +1,13 @@
 """Geometric PID controller.
 
-Baseline controller and CoVO-offline's expansion policy
-(reference: quadjax/controllers/pid.py:11-83). World-frame PD+I force,
-thrust = body-z component, desired attitude from the force direction via
-axis-angle, SO(3) attitude error -> commanded body rate.
+Capability parity with the reference controller
+(reference: quadjax/controllers/pid.py:11-83), re-designed in the repo's
+batch-first idiom: the control law is three pure broadcasting stages —
+force setpoint → tilt setpoint → SO(3) rate command — over ``(..., 3)``
+arrays, so one code path serves the interactive solver, vmapped scenario
+batches, and CoVO-offline's scanned expansion policy without per-call vmap
+wrappers. Oracle parity is pinned by tests/test_harness.py (full eval
+protocol) and the offline-schedule pins in tests/test_covo.py.
 """
 
 from __future__ import annotations
@@ -21,7 +25,10 @@ from covo_mpc_tpu.solvers.base import BaseSolver
 
 @struct.dataclass
 class PIDParams:
-    """(reference: pid.py:11-22)"""
+    """Gain schedule + controller carry. Field schema is a parity contract
+    (reference: pid.py:11-22): CoVO-offline instantiates this with its own
+    expansion gains, and the carry (integral, quat_desired) threads through
+    the harness exactly like any solver's control_params."""
 
     Kp: float = 4.0
     Kd: float = 4.0
@@ -34,53 +41,91 @@ class PIDParams:
     att_integral: jnp.ndarray = default_array([0.0, 0.0, 0.0])
 
 
+def force_setpoint(gains, plant, *, pos_err, vel_err, integral, acc_ff):
+    """Stage 1 — world-frame PD+I force with gravity + feed-forward lift.
+
+    ``f = m (g e_z − Kp e_p − Kd e_v − Ki ∫e_p + a_ff)``. Broadcasts over
+    any leading batch dims of the error terms.
+    """
+    e_z = jnp.zeros_like(pos_err).at[..., 2].set(1.0)
+    accel_cmd = (
+        plant.g * e_z
+        - gains.Kp * pos_err
+        - gains.Kd * vel_err
+        - gains.Ki * integral
+        + acc_ff
+    )
+    return plant.m * accel_cmd
+
+
+def tilt_setpoint(f_d):
+    """Stage 2 — desired attitude whose body z-axis carries the force.
+
+    Axis–angle from e_z to the force direction; ``e_z × z_d`` has the
+    closed form ``(−z_y, z_x, 0)`` so no general cross product is needed.
+    Degenerate-direction guards match the reference quirk (pid.py:56-62):
+    the small-angle test runs on the ALREADY-replaced angle, so a near-zero
+    tilt snaps to a 5e-4 rotation about e_z.
+    """
+    nrm = jnp.linalg.norm(f_d, axis=-1, keepdims=True)
+    z_d = f_d / jnp.maximum(nrm, 1e-3)
+    axis_angle = jnp.stack(
+        [-z_d[..., 1], z_d[..., 0], jnp.zeros_like(z_d[..., 0])], axis=-1
+    )
+    angle = jnp.linalg.norm(axis_angle, axis=-1)
+    angle = jnp.where(angle < 1e-3, 5e-4, angle)
+    e_z = jnp.zeros_like(axis_angle).at[..., 2].set(1.0)
+    axis = jnp.where(
+        (angle < 1e-3)[..., None], e_z, axis_angle / angle[..., None]
+    )
+    return rotation.axis_angle_to_rotmat(axis, angle)
+
+
+def so3_rate_command(R_d, R, kp_att):
+    """Stage 3 — body-rate command from the SO(3) attitude error
+    ``vee(R_e − R_eᵀ)`` with ``R_e = R_dᵀ R`` (reference: pid.py:65-68)."""
+    R_e = jnp.swapaxes(R_d, -1, -2) @ R
+    return -kp_att * rotation.vee(R_e - jnp.swapaxes(R_e, -1, -2))
+
+
 class PIDSolver(BaseSolver):
     def __init__(self, env, control_params) -> None:
         super().__init__(env, control_params)
-        # the reference PID reads physical constants from the DEFAULT params,
-        # not the (possibly domain-randomized) episode params (pid.py:33)
+        # physical constants come from the DEFAULT params, not the (possibly
+        # domain-randomized) episode params — reference quirk (pid.py:33)
         self.param = env.default_params
 
     @partial(jax.jit, static_argnums=(0,))
     def __call__(self, obs, state, env_params, rng_act, control_params, info=None):
         p = self.param
-        Q = rotation.quat_to_rotmat(state.quat)
-
-        # position loop: world-frame desired force (reference: pid.py:44-50)
-        f_d = p.m * (
-            jnp.array([0.0, 0.0, p.g])
-            - control_params.Kp * (state.pos - state.pos_tar)
-            - control_params.Kd * (state.vel - state.vel_tar)
-            - control_params.Ki * control_params.integral
-            + state.acc_tar
+        f_d = force_setpoint(
+            control_params,
+            p,
+            pos_err=state.pos - state.pos_tar,
+            vel_err=state.vel - state.vel_tar,
+            integral=control_params.integral,
+            acc_ff=state.acc_tar,
         )
-        thrust = (Q.T @ f_d)[2]
+        # thrust = body-z component of the commanded force: ⟨R e_z, f⟩
+        R = rotation.quat_to_rotmat(state.quat)
+        thrust = jnp.einsum("...i,...i->...", R[..., :, 2], f_d)
         thrust = jnp.clip(thrust, 0.0, p.max_thrust)
 
-        # attitude loop (reference: pid.py:56-68), including the reference's
-        # small-angle guards evaluated on the ALREADY-replaced angle
-        f_d_norm = jnp.linalg.norm(f_d)
-        f_d_norm = jnp.where(f_d_norm < 1e-3, 1e-3, f_d_norm)
-        z_d = f_d / f_d_norm
-        axis_angle = jnp.cross(jnp.array([0.0, 0.0, 1.0]), z_d)
-        angle = jnp.linalg.norm(axis_angle)
-        angle = jnp.where(angle < 1e-3, 5e-4, angle)
-        axis = jnp.where(angle < 1e-3, jnp.array([0.0, 0.0, 1.0]), axis_angle / angle)
-        R_d = rotation.axis_angle_to_rotmat(axis, angle)
-        quat_desired = rotation.rotmat_to_quat(R_d)
-        R_e = R_d.T @ Q
-        angle_err = rotation.vee(R_e - R_e.T)
-        omega_d = -control_params.Kp_att * angle_err
+        R_d = tilt_setpoint(f_d)
+        omega_d = so3_rate_command(R_d, R, control_params.Kp_att)
 
+        # normalized bodyrate action layout: [thrust∈[−1,1], ω/ω_max]
         action = jnp.concatenate(
             [
-                jnp.array([(thrust / p.max_thrust) * 2.0 - 1.0]),
+                thrust[..., None] / p.max_thrust * 2.0 - 1.0,
                 omega_d / p.max_omega,
-            ]
+            ],
+            axis=-1,
         )
 
-        integral = control_params.integral + (state.pos - state.pos_tar) * env_params.dt
-        control_params = control_params.replace(
-            quat_desired=quat_desired, integral=integral
+        carry = control_params.replace(
+            quat_desired=rotation.rotmat_to_quat(R_d),
+            integral=control_params.integral
+            + (state.pos - state.pos_tar) * env_params.dt,
         )
-        return action, control_params, None
+        return action, carry, None

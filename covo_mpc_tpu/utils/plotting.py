@@ -17,10 +17,14 @@ from covo_mpc_tpu.models.rotation import quat_to_rpy
 
 
 def plot_episode(trace: dict, dt: float, path: str, title: str = "") -> str:
-    """Draw the compact 3x3 pos/vel/rpy dashboard plus reward/actuation.
+    """Draw the episode dashboard: pos/vel/rpy vs targets, omega vs the
+    commanded omega_tar, the disturbance-force trace, reward, and the
+    per-channel actuation — channel parity with the reference dashboards
+    (reference: quadjax/dynamics/utils.py:321-473).
 
     ``trace`` is the dict of stacked arrays produced by
-    :func:`covo_mpc_tpu.runtime.render.render_episode`.
+    :func:`covo_mpc_tpu.runtime.render.render_episode`; channels missing
+    from older traces are skipped.
     Returns the written file path.
     """
     import matplotlib
@@ -32,28 +36,34 @@ def plot_episode(trace: dict, dt: float, path: str, title: str = "") -> str:
     t = np.arange(T) * dt
     rpy = np.array(quat_to_rpy(trace["quat"]))
 
-    fig, axes = plt.subplots(4, 3, figsize=(15, 10), sharex=True)
+    fig, axes = plt.subplots(6, 3, figsize=(15, 15), sharex=True)
     groups = [
         ("pos", trace["pos"], trace.get("pos_tar"), ["x", "y", "z"]),
         ("vel", trace["vel"], trace.get("vel_tar"), ["x", "y", "z"]),
         ("rpy", rpy, None, ["roll", "pitch", "yaw"]),
+        ("omega", trace["omega"], trace.get("omega_tar"), ["x", "y", "z"]),
+        ("f_disturb", trace.get("f_disturb"), None, ["x", "y", "z"]),
     ]
     for row, (name, val, tar, labels) in enumerate(groups):
         for col in range(3):
             ax = axes[row][col]
-            ax.plot(t, val[:, col], label=labels[col])
+            if val is not None:
+                ax.plot(t, val[:, col], label=labels[col])
             if tar is not None:
                 ax.plot(t, tar[:, col], "--", label=f"{labels[col]} target")
             ax.set_ylabel(f"{name} {labels[col]}")
             ax.legend(fontsize=7)
 
-    axes[3][0].plot(t, trace["reward"])
-    axes[3][0].set_ylabel("reward")
-    axes[3][1].plot(t, trace["last_thrust"])
-    axes[3][1].set_ylabel("thrust [N]")
-    axes[3][2].plot(t, trace["omega"])
-    axes[3][2].set_ylabel("omega [rad/s]")
-    for ax in axes[3]:
+    axes[5][0].plot(t, trace["reward"])
+    axes[5][0].set_ylabel("reward")
+    axes[5][1].plot(t, trace["last_thrust"])
+    axes[5][1].set_ylabel("thrust [N]")
+    if "action" in trace:
+        for ch, lab in enumerate(["thrust", "wx", "wy", "wz"]):
+            axes[5][2].plot(t, trace["action"][:, ch], label=lab)
+        axes[5][2].legend(fontsize=7)
+    axes[5][2].set_ylabel("action (normalized)")
+    for ax in axes[5]:
         ax.set_xlabel("time [s]")
     if title:
         fig.suptitle(title)

@@ -138,6 +138,12 @@ def test_plot_episode(tmp_path):
     env = make_env()
     solver, _ = get_solver(env, "pid")
     trace = render_episode(env, solver, seed=1, steps=30)
+    # dashboard channel parity (reference: dynamics/utils.py:321-473):
+    # the trace must carry the commanded body rate, the disturbance
+    # force, and the per-channel action alongside pos/vel/quat
+    assert trace["omega_tar"].shape == (30, 3)
+    assert trace["f_disturb"].shape == (30, 3)
+    assert trace["action"].shape == (30, 4)
     from covo_mpc_tpu.utils.plotting import plot_episode
 
     out = plot_episode(trace, env.default_params.dt, str(tmp_path / "ep.png"))

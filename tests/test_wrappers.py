@@ -38,12 +38,6 @@ def test_misc_parity():
     np.testing.assert_allclose(
         misc.angle_normalize(xs), jax.vmap(ref.angle_normalize)(xs), atol=1e-6
     )
-    for y, z in [(0.01, 0.5), (0.2, 0.0), (0.04, 0.31)]:
-        np.testing.assert_allclose(
-            misc.get_hit_penalty(jnp.float32(y), jnp.float32(z)),
-            ref.get_hit_penalty(jnp.float32(y), jnp.float32(z)),
-            atol=1e-6,
-        )
     key = jax.random.PRNGKey(3)
     np.testing.assert_allclose(
         misc.sample_sphere(key, 2.0, jnp.array([1.0, 2.0, 3.0])),
