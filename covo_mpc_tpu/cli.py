@@ -90,8 +90,23 @@ def main(argv=None) -> int:
         metrics_path = (
             f"{cfg.results_dir}/metrics_{name}.jsonl" if cfg.metrics else None
         )
-        result = evaluate(env, solver, total_steps=cfg.total_steps,
-                          seed=cfg.seed, metrics_path=metrics_path)
+        if cfg.supervised:
+            from covo_mpc_tpu.runtime.supervisor import run_supervised
+
+            fingerprint = (
+                f"{cfg.task}/{cfg.controller}/{cfg.controller_params}/"
+                f"{cfg.rng_mode}/{cfg.hessian_mode}/{cfg.engine}/"
+                f"{cfg.sigma_mode}/{cfg.disturb_type}/noDR={cfg.noDR}"
+            )
+            result = run_supervised(
+                env, solver, total_steps=cfg.total_steps, seed=cfg.seed,
+                checkpoint_dir=cfg.checkpoint_dir
+                or f"{cfg.results_dir}/ckpt_{name}",
+                chunk_episodes=cfg.chunk_episodes, fingerprint=fingerprint,
+            )
+        else:
+            result = evaluate(env, solver, total_steps=cfg.total_steps,
+                              seed=cfg.seed, metrics_path=metrics_path)
         print(result.summary())
         out = save_eval_result(result, f"{cfg.results_dir}/eval_{name}.npz")
         plot_eval_errors(result.err_pos_ep, f"{cfg.results_dir}/eval_{name}.png", name)

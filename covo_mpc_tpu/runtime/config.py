@@ -44,3 +44,9 @@ class RunConfig:
     # jax.profiler trace directory for bench mode (Perfetto/TensorBoard);
     # empty = no trace — runtime/profiling.trace
     trace_dir: str = ""
+    # eval mode: run under the failure-detecting supervisor
+    # (runtime/supervisor.py) — chunked episodes, checkpoint/resume,
+    # numeric + backend failure recovery
+    supervised: bool = False
+    checkpoint_dir: str = ""  # supervisor checkpoints; empty = results_dir/ckpt_<name>
+    chunk_episodes: int = 4  # supervisor recovery granularity

@@ -1,0 +1,158 @@
+"""Failure-detecting supervisor: protocol parity, checkpoint/resume,
+numeric + backend failure recovery (runtime/supervisor.py).
+
+The reference has no failure machinery (its eval loop, quadrotor.py:506-591,
+loses everything on interruption); these tests pin the supervisor's added
+semantics against `runtime.eval.evaluate` (the reference-parity oracle for
+the values) and against injected faults.
+"""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from covo_mpc_tpu.models import EnvConfig, QuadEnv
+from covo_mpc_tpu.runtime import evaluate
+from covo_mpc_tpu.runtime.supervisor import run_supervised
+from covo_mpc_tpu.solvers import get_solver
+from covo_mpc_tpu.solvers.pid import PIDParams, PIDSolver
+
+
+def make_env():
+    return QuadEnv(
+        EnvConfig(
+            task="tracking",
+            enable_randomizer=False,
+            disturb_type="gaussian",
+            disable_rollover_terminate=True,
+            generate_noisy_state=True,
+        )
+    )
+
+
+def test_supervised_matches_evaluate(tmp_path):
+    """Chunked supervised run == the monolithic evaluate scan, bitwise —
+    including a ragged tail chunk (4 eps in chunks of 3)."""
+    env = make_env()
+    solver, _ = get_solver(env, "pid")
+    ref = evaluate(env, solver, total_steps=1200, seed=1)
+    sup = run_supervised(
+        env, solver, total_steps=1200, seed=1,
+        checkpoint_dir=str(tmp_path / "ckpt"), chunk_episodes=3,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sup.err_pos_ep, np.float32), np.asarray(ref.err_pos_ep)
+    )
+    assert sup.mean == pytest.approx(ref.mean, rel=1e-6)
+    assert not sup.failed.any()
+    # checkpoint artifacts exist and record completion
+    with open(tmp_path / "ckpt" / "manifest.json") as fh:
+        assert json.load(fh)["completed"] == 2
+
+
+def test_backend_failure_retry_then_success(tmp_path):
+    """A transient dispatch failure is retried and the run completes with
+    the same values as an undisturbed one."""
+    env = make_env()
+    solver, _ = get_solver(env, "pid")
+    ref = evaluate(env, solver, total_steps=900, seed=3)
+    boom = {"armed": True}
+
+    def hook(chunk, attempt):
+        if chunk == 1 and attempt == 0 and boom.pop("armed", False):
+            raise RuntimeError("injected tunnel outage")
+
+    sup = run_supervised(
+        env, solver, total_steps=900, seed=3,
+        checkpoint_dir=str(tmp_path / "ckpt"), chunk_episodes=1,
+        _fault_hook=hook,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sup.err_pos_ep, np.float32), np.asarray(ref.err_pos_ep)
+    )
+    kinds = [e["kind"] for e in sup.events]
+    assert "backend_failure" in kinds
+
+
+def test_crash_then_resume(tmp_path):
+    """Retries exhausted -> RuntimeError AFTER checkpointing; re-invoking
+    the same protocol resumes at the failed chunk and the final result is
+    identical to an uninterrupted run."""
+    env = make_env()
+    solver, _ = get_solver(env, "pid")
+    ckpt = str(tmp_path / "ckpt")
+
+    def hook(chunk, attempt):
+        if chunk == 1:
+            raise RuntimeError("persistent outage")
+
+    with pytest.raises(RuntimeError, match="re-run the same command"):
+        run_supervised(
+            env, solver, total_steps=1200, seed=5, checkpoint_dir=ckpt,
+            chunk_episodes=2, max_retries=1, _fault_hook=hook,
+        )
+    # events recorded on disk for post-mortem
+    with open(os.path.join(ckpt, "events.jsonl")) as fh:
+        events = [json.loads(line) for line in fh]
+    assert sum(e["kind"] == "backend_failure" for e in events) == 2
+
+    sup = run_supervised(
+        env, solver, total_steps=1200, seed=5, checkpoint_dir=ckpt,
+        chunk_episodes=2,
+    )
+    assert sup.resumed_at_chunk == 1
+    ref = evaluate(env, solver, total_steps=1200, seed=5)
+    np.testing.assert_array_equal(
+        np.asarray(sup.err_pos_ep, np.float32), np.asarray(ref.err_pos_ep)
+    )
+
+
+def test_mismatched_checkpoint_refused(tmp_path):
+    env = make_env()
+    solver, _ = get_solver(env, "pid")
+    ckpt = str(tmp_path / "ckpt")
+    run_supervised(env, solver, total_steps=600, seed=1,
+                   checkpoint_dir=ckpt, chunk_episodes=2)
+    with pytest.raises(ValueError, match="different protocol"):
+        run_supervised(env, solver, total_steps=600, seed=2,
+                       checkpoint_dir=ckpt, chunk_episodes=2)
+
+
+def test_numeric_failure_excluded(tmp_path):
+    """A diverged (non-finite) solve is detected, recorded, and excluded
+    from the summary instead of silently averaged (the reference would
+    print nan, quadrotor.py:577-579)."""
+    env = make_env()
+    nan_solver = PIDSolver(
+        env, PIDParams(Kp=float("nan"), Kd=5.0, Ki=0.0, Kp_att=10.0)
+    )
+    sup = run_supervised(
+        env, nan_solver, total_steps=600, seed=1,
+        checkpoint_dir=str(tmp_path / "ckpt"), chunk_episodes=1,
+        max_retries=1,
+    )
+    assert sup.failed.all()
+    assert np.isnan(sup.mean)
+    assert any(e["kind"] == "numeric_failure" for e in sup.events)
+    assert "FAILED" in sup.summary()
+
+
+def test_probe_gates_retry():
+    """probe() returning False skips pointless retries (tunnel known-down)."""
+    env = make_env()
+    solver, _ = get_solver(env, "pid")
+
+    def hook(chunk, attempt):
+        raise RuntimeError("outage")
+
+    calls = []
+    with pytest.raises(RuntimeError):
+        run_supervised(
+            env, solver, total_steps=600, seed=1, chunk_episodes=2,
+            max_retries=3, probe=lambda: calls.append(1) or False,
+            _fault_hook=hook,
+        )
+    assert len(calls) == 1  # first failure probed once, then gave up
