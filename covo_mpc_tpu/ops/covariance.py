@@ -177,7 +177,10 @@ def optimize_sigma_ns(
     eigh(128) costs ~0.66 ms on a TPU chip (sequential QR machinery); this
     path replaces it with MXU-native pieces:
 
-      1. spectral extremes of R by power-squaring (:func:`_extreme_eig`),
+      1. a certified λ_max bound from ‖R‖_F (free — the NS lift schedule's
+         κ headroom absorbs the ≤√D looseness; a dedicated power-squaring
+         pass measured +0.013 ms/solve, scripts/designer_ab.py) and a rough
+         λ_min by one power-squaring pass (:func:`_extreme_eig`),
       2. λ_min refined THROUGH THE INVERSE: a rough, generously-shifted
          ``A₁^{-1/2}`` by Newton–Schulz, then power-squaring on
          ``Z₁² = (A₁/s₁)^{-1}`` — inversion magnifies the bottom of the
@@ -207,25 +210,37 @@ def optimize_sigma_ns(
     eye = jnp.eye(D, dtype=R.dtype)
     fnorm = jnp.linalg.norm(R) + 1e-30
 
-    # 1) spectral extremes. λ_max first (relative-accurate at the top), then
-    # reuse it as a tight bound for the λ_min pass: B = bound·I - R keeps
-    # λ_max(B) ≈ spread, so suppression acts on undiluted relative gaps.
-    lam_max = _extreme_eig(fnorm * eye + R, squarings) - fnorm
-    bound = lam_max * 1.02 + 1e-3 * fnorm  # strictly ≥ λ_max
+    # 1) certified spectral bound: ‖R‖_F ≥ ρ(R) ≥ λ_max, already computed.
+    # A dedicated λ_max power-squaring pass bought tightness the NS lift
+    # schedule does not need — its κ ≤ 1e8 coverage leaves ~2500× headroom
+    # over the in-flight range, while the Frobenius bound is loose by at
+    # most √D ≈ 11.3× — so the pass is pure critical-path cost (~18
+    # sequential ops; dropping it measured +0.013 ms solve-level,
+    # scripts/designer_ab.py). The λ_min rough pass keeps its accuracy
+    # budget via the enlarged delta1 below.
+    bound = fnorm  # ≥ λ_max(R), certified
     lam_min_rough = bound - _extreme_eig(bound * eye - R, squarings)
-    spread = bound - lam_min_rough
+    spread = bound - lam_min_rough  # ≥ true spread (bound looseness)
 
-    # 2) refine λ_min through the inverse of a generously-shifted A₁
-    delta1 = 1e-2 + 2e-3 * spread  # ≥ 4x the rough-pass error bound
+    # 2) refine λ_min through the inverse of a generously-shifted A₁.
+    # delta1 is sized for the DILUTED rough pass: with bound = ‖R‖_F the
+    # suppression gap (λ−λ_min)/(bound−λ_min) shrinks by the bound's
+    # looseness (≤ ~2√D), but the Rayleigh top-cluster error is still
+    # ≤ ~1e-4·(bound−λ_min) ≤ 1e-4·spread_hat at 14 squarings, so the
+    # 5e-3·spread_hat margin keeps ≥50× PD slack; the rough estimate only
+    # ever OVER-estimates λ_min (Rayleigh ≤ λ_max on B), which this shift
+    # absorbs. κ(A₁) ≤ ~(spread+delta1)/(delta1−err) ≲ 210 — inside the
+    # rough schedule's κ ≤ 500 coverage.
+    delta1 = 1e-2 + 5e-3 * spread
     off1 = -lam_min_rough + delta1
-    s1 = (lam_max + off1) * 1.05
+    s1 = (bound + off1) * 1.05
     _, Z1 = _ns_sqrt((R + off1 * eye) / s1, *ns_rough)  # κ(A₁) ≲ 500
     lam_min = s1 / _extreme_eig(_mm(Z1, Z1), squarings) - off1
 
     # 3) the reference shift, now with floor error ~1e-4 · 1e-2
     offset = -lam_min + 1e-2
     A = R + offset * eye
-    s = (lam_max + offset) * 1.05 + 1e-30  # ≥ λ_max(A), tight
+    s = (bound + offset) * 1.05 + 1e-30  # ≥ λ_max(A), certified
     _, Z = _ns_sqrt(A / s, *ns_main)  # Z ≈ (A/s)^{-1/2}
 
     # 4) one Cholesky of Z: logdet + sampling factor in a single shot

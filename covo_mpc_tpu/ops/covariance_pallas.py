@@ -122,23 +122,24 @@ def _sigma_ns_kernel(
     eye = (row_i == col_i).astype(jnp.float32)
     fnorm = _fnorm(R) + 1e-30
 
-    # 1) spectral extremes (tight bound for the λ_min pass)
-    lam_max = _extreme(fnorm * eye + R, squarings) - fnorm
-    bound = lam_max * 1.02 + 1e-3 * fnorm
+    # 1) certified spectral bound (covariance.optimize_sigma_ns step 1:
+    # ‖R‖_F replaces the dedicated λ_max pass — identical math)
+    bound = fnorm
     lam_min_rough = bound - _extreme(bound * eye - R, squarings)
     spread = bound - lam_min_rough
 
-    # 2) λ_min refined through the inverse
-    delta1 = 1e-2 + 2e-3 * spread
+    # 2) λ_min refined through the inverse (delta1 sized for the diluted
+    # rough pass — see covariance.optimize_sigma_ns step 2)
+    delta1 = 1e-2 + 5e-3 * spread
     off1 = -lam_min_rough + delta1
-    s1 = (lam_max + off1) * 1.05
+    s1 = (bound + off1) * 1.05
     _, Z1 = _ns_sqrt((R + off1 * eye) / s1, eye, *ns_rough)
     lam_min = s1 / _extreme(_dot(Z1, Z1), squarings) - off1
 
     # 3) the reference shift + A^{-1/2}
     offset = -lam_min + 1e-2
     A = R + offset * eye
-    s = (lam_max + offset) * 1.05 + 1e-30
+    s = (bound + offset) * 1.05 + 1e-30
     _, Z = _ns_sqrt(A / s, eye, *ns_main)
 
     # 4) one elimination of Z: logdet + triangular sampling factor
