@@ -457,9 +457,9 @@ def main():
                              "gn"],
                     help="CoVO Hessian for the headline row. Default gn "
                          "(Gauss-Newton): quality-gated on the 40-episode "
-                         "protocol (RESULTS.md: gn+krng 3.57 cm, +47.2% vs "
+                         "protocol (RESULTS.md: gn+krng 3.53 cm, +47.9% vs "
                          "MPPI — inside the paper's 43-54% band, on par "
-                         "with the exact adjoint's 3.88)")
+                         "with the exact adjoint's 3.83)")
     ap.add_argument("--disturb-type", default="gaussian",
                     choices=["gaussian", "none", "sin", "periodic", "drag",
                              "mixed"],
