@@ -49,7 +49,18 @@ def main(argv=None) -> int:
     enable_compile_cache()
 
     if cfg.debug:
-        jax.config.update("jax_debug_nans", True)
+        # scoped, not a bare config.update: main() is also called
+        # in-process (tests, notebooks, python -c wrappers — CLAUDE.md),
+        # where leaking jax_debug_nans would make every later NaN raise
+        from covo_mpc_tpu.runtime.debug import debug_mode
+
+        with debug_mode():
+            return _run(cfg)
+    return _run(cfg)
+
+
+def _run(cfg) -> int:
+    import jax
 
     from covo_mpc_tpu.models import EnvConfig, QuadEnv
     from covo_mpc_tpu.runtime import evaluate

@@ -239,6 +239,22 @@ def test_batched_kernel_matches_jnp():
                                    err_msg=f"scenario {b}")
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _fresh_caches():
+    """Work around a deterministic XLA:CPU segfault in the full tier.
+
+    With the live jit-cache state accumulated by test_covo + test_env
+    (not either alone), compiling/running this module's interpret-mode
+    kernels segfaults inside XLA at test_non_power_of_two_lane_blocks —
+    reproduced 3x at the same site, gone with a cache clear, all subsets
+    pass (bisect log: round-4 notes). Runtime-level bug, not numerics:
+    the same programs pass bit-identically from a fresh cache. Clearing
+    here costs one re-trace of this module's ~28 tests (the persistent
+    .jax_cache keeps XLA compiles warm)."""
+    jax.clear_caches()
+    yield
+
+
 @pytest.mark.parametrize("n", [5120, 6144])
 def test_non_power_of_two_lane_blocks(n):
     """N divisible by 1024 but with lanes % 512 != 0 must still cover every
