@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -50,13 +51,24 @@ def cov_update(
 ) -> jnp.ndarray:
     """Weighted per-step covariance blend (reference: mppi.py:119-125).
 
-    The reference centers deviations on the freshly updated mean. With the
-    paper configuration gamma_sigma = 0 this reduces to `a_cov` — kept as a
-    runtime value (not static) for API parity.
+    The reference centers deviations on the freshly updated mean.
+    gamma_sigma stays a runtime value (not static) for API parity, but the
+    paper configuration sets it to 0 — where the blend is the identity —
+    so the reduction sits behind a lax.cond: the weighted-covariance pass
+    re-reads the full (N, H, dA) action tensor from HBM, and skipping it
+    at runtime measured 0.086 → 0.074 ms end-to-end on the MPPI
+    kernel-rng solve (stage ceiling 0.013 ms, scripts/mppi_ab.py; quality
+    re-checked unchanged). Under a batched-params vmap the cond lowers to
+    a select and both branches run — no savings there, no regression
+    either.
     """
-    dev = a_sampled - a_mean_new[None]
-    weighted = jnp.einsum("n,nhi,nhj->hij", weight, dev, dev)
-    return weighted * gamma_sigma + a_cov * (1.0 - gamma_sigma)
+
+    def blended(_):
+        dev = a_sampled - a_mean_new[None]
+        weighted = jnp.einsum("n,nhi,nhj->hij", weight, dev, dev)
+        return weighted * gamma_sigma + a_cov * (1.0 - gamma_sigma)
+
+    return jax.lax.cond(gamma_sigma == 0.0, lambda _: a_cov, blended, None)
 
 
 # --- kernel-layout (sample-axis-last) twins: same math on (H, dA, N) /
@@ -71,7 +83,11 @@ def mean_update_t(weight, a_t, a_mean, gamma_mean):
 
 
 def cov_update_t(weight, a_t, a_mean_new, a_cov, gamma_sigma):
-    """:func:`cov_update` on (H, dA, N) samples."""
-    dev = a_t - a_mean_new[..., None]
-    weighted = jnp.einsum("n,hin,hjn->hij", weight, dev, dev)
-    return weighted * gamma_sigma + a_cov * (1.0 - gamma_sigma)
+    """:func:`cov_update` on (H, dA, N) samples (same gamma=0 cond)."""
+
+    def blended(_):
+        dev = a_t - a_mean_new[..., None]
+        weighted = jnp.einsum("n,hin,hjn->hij", weight, dev, dev)
+        return weighted * gamma_sigma + a_cov * (1.0 - gamma_sigma)
+
+    return jax.lax.cond(gamma_sigma == 0.0, lambda _: a_cov, blended, None)
