@@ -104,6 +104,17 @@ def _run(cfg) -> int:
         if cfg.supervised:
             from covo_mpc_tpu.runtime.supervisor import run_supervised
 
+            if metrics_path:
+                # the chunked supervisor does not collect per-solve metrics
+                # (they would bloat every checkpoint); run unsupervised for
+                # the JSONL, or read events.jsonl for recovery telemetry
+                print(
+                    "warning: --metrics is not supported with --supervised; "
+                    "no metrics JSONL will be written",
+                    file=sys.stderr,
+                )
+                metrics_path = None
+
             fingerprint = (
                 f"{cfg.task}/{cfg.controller}/{cfg.controller_params}/"
                 f"{cfg.rng_mode}/{cfg.hessian_mode}/{cfg.engine}/"

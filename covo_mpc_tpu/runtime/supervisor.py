@@ -36,6 +36,19 @@ Chunking preserves the protocol values exactly: ``evaluate`` scans
 ``ep_step`` over the reset sequence with an RNG carry, and a scan over a
 partition of that sequence with the carry threaded between chunks computes
 the same chain (pinned against ``evaluate`` in tests/test_supervisor.py).
+
+``run_supervised_batched`` is the same recovery machinery over the
+throughput protocol (``runtime.eval.evaluate_batched`` — independent
+per-episode keys, vmapped), chunked over episode blocks with per-episode
+failure masks.
+
+``CellStore`` lifts recovery to MATRIX level for the sweep scripts
+(scripts/mode_gates.py, n_ablation.py, paper_results.py): each (config
+cell) records its finished summary in ``root/cells.json``, so a matrix
+interrupted between cells resumes without recomputing a finished cell,
+and each in-flight cell's episodes resume from its own per-cell
+``run_supervised`` checkpoint. These sweeps are the runs that actually
+hit multi-hour tunnel outages on this deployment.
 """
 
 from __future__ import annotations
@@ -167,6 +180,11 @@ def run_supervised(
         raise ValueError(f"total_steps={total_steps} is less than one episode")
     num_trajs = min(num_trajs, num_eps)
     reps = num_eps // num_trajs
+    # evaluate()'s scan runs exactly num_trajs*reps episodes (reset_seq
+    # length); adopt the same effective count so a non-divisible
+    # total_steps neither crashes the tail chunk (err_pos was sized by the
+    # truncated-away episodes) nor diverges from the parity oracle
+    num_eps = num_trajs * reps
     run_one_ep = make_episode_runner(env, controller)
 
     # identical protocol prologue to runtime.eval.evaluate
@@ -190,6 +208,33 @@ def run_supervised(
         "chunk_episodes": chunk_episodes,
         "fingerprint": fingerprint,
     }
+    chunk_inputs = lambda lo, hi: reset_seq[lo:hi]
+    return _run_chunked(
+        run_chunk, chunk_inputs, rng, num_eps, chunk_episodes, manifest,
+        checkpoint_dir, max_retries, backoff_s, probe, _fault_hook,
+    )
+
+
+def _run_chunked(
+    run_chunk,
+    chunk_inputs,
+    carry,
+    num_eps,
+    chunk_episodes,
+    manifest,
+    checkpoint_dir,
+    max_retries,
+    backoff_s,
+    probe,
+    _fault_hook,
+) -> SupervisedResult:
+    """The recovery loop shared by the sequential and batched protocols.
+
+    ``run_chunk(carry, inputs) -> (carry, errs)`` is the jitted chunk
+    program; ``chunk_inputs(lo, hi)`` supplies its per-chunk inputs; the
+    carry (an RNG chain, or a dummy for carry-free protocols) is threaded
+    between chunks and through the checkpoint.
+    """
     if checkpoint_dir:
         os.makedirs(checkpoint_dir, exist_ok=True)
     log = _EventLog(
@@ -202,24 +247,24 @@ def run_supervised(
     if checkpoint_dir:
         resumed = _try_resume(checkpoint_dir, manifest, log)
         if resumed is not None:
-            start_chunk, (rng, err_pos, failed) = resumed
+            start_chunk, (carry, err_pos, failed) = resumed
 
     resumed_at = start_chunk
     try:
         for ci in range(start_chunk, len(starts)):
             lo = starts[ci]
             hi = min(lo + chunk_episodes, num_eps)
-            chunk_resets = reset_seq[lo:hi]
-            rng_in = rng  # retries re-run the chunk from the same carry
+            chunk_in = chunk_inputs(lo, hi)
+            carry_in = carry  # retries re-run the chunk from the same carry
             for attempt in range(max_retries + 1):
                 try:
                     if _fault_hook is not None:
                         _fault_hook(ci, attempt)
-                    rng_out, errs = run_chunk(rng_in, chunk_resets)
+                    carry_out, errs = run_chunk(carry_in, chunk_in)
                     errs = np.asarray(errs, np.float64)
                     # force the transfer — block_until_ready is a no-op on
                     # the tunneled backend (CLAUDE.md)
-                    rng_out = jnp.asarray(np.asarray(rng_out))
+                    carry_out = jnp.asarray(np.asarray(carry_out))
                 except Exception as e:  # noqa: BLE001 — backend failure path
                     log.emit("backend_failure", chunk=ci, attempt=attempt,
                              error=f"{type(e).__name__}: {e}"[:300])
@@ -251,9 +296,9 @@ def run_supervised(
                 # and move on with the carry the chunk produced
                 failed[lo:hi] = ~np.isfinite(errs)
             err_pos[lo:hi] = errs
-            rng = rng_out
+            carry = carry_out
             if checkpoint_dir:
-                _save_state(checkpoint_dir, manifest, rng, err_pos, failed,
+                _save_state(checkpoint_dir, manifest, carry, err_pos, failed,
                             completed=ci + 1)
             log.emit("chunk_done", chunk=ci, episodes=[int(lo), int(hi)])
     finally:
@@ -270,3 +315,135 @@ def run_supervised(
         events=log.records,
         resumed_at_chunk=resumed_at,
     )
+
+
+def run_supervised_batched(
+    env,
+    controller,
+    num_eps: int = 40,
+    seed: int = 1,
+    env_params=None,
+    checkpoint_dir: Optional[str] = None,
+    chunk_episodes: int = 8,
+    max_retries: int = 2,
+    backoff_s: float = 0.0,
+    probe: Optional[Callable[[], bool]] = None,
+    fingerprint: str = "",
+    _fault_hook: Optional[Callable[[int, int], None]] = None,
+) -> SupervisedResult:
+    """``runtime.eval.evaluate_batched`` with checkpoint/resume + recovery.
+
+    The batched protocol has NO cross-episode RNG chain (independent
+    per-episode fold-in keys), so chunks over episode blocks are exactly
+    independent: each chunk vmaps its block with the block's own keys, and
+    the per-episode failure mask lands per block. A dummy carry keeps the
+    checkpoint format shared with ``run_supervised``.
+
+    Value parity with ``evaluate_batched`` is per-episode up to XLA
+    fusion at a different vmap width (the batch size IS the program
+    shape); resume parity with an uninterrupted supervised run is exact
+    (pinned in tests/test_supervisor.py).
+    """
+    run_one_ep = make_episode_runner(env, controller)
+    base = jax.random.PRNGKey(seed)
+    reset_keys = jax.random.split(jax.random.fold_in(base, 0), num_eps)
+    run_keys = jax.random.split(jax.random.fold_in(base, 1), num_eps)
+
+    @jax.jit
+    def run_chunk(carry, chunk_keys):
+        kr, k = chunk_keys
+        _, err_pos, _, _ = jax.vmap(lambda a, b: run_one_ep(a, b, env_params))(
+            kr, k
+        )
+        return carry, err_pos.mean(axis=1)
+
+    manifest = {
+        "seed": seed,
+        "num_eps": num_eps,
+        "chunk_episodes": chunk_episodes,
+        "fingerprint": fingerprint,
+        "protocol": "batched",
+    }
+    chunk_inputs = lambda lo, hi: (reset_keys[lo:hi], run_keys[lo:hi])
+    return _run_chunked(
+        run_chunk, chunk_inputs, jax.random.PRNGKey(0), num_eps,
+        chunk_episodes, manifest, checkpoint_dir, max_retries, backoff_s,
+        probe, _fault_hook,
+    )
+
+
+class CellStore:
+    """Matrix-level resume for multi-cell sweep scripts.
+
+    A sweep (gate matrix, N-ablation, paper table) is a list of config
+    cells, each minutes-to-hours of TPU time. The store records every
+    finished cell's summary in ``root/cells.json`` (atomic replace) keyed
+    by (cell key, config fingerprint); re-running the same sweep skips
+    finished cells, and the in-flight cell resumes from its own per-cell
+    ``run_supervised`` checkpoint under ``root/<key>/``. A fingerprint
+    change invalidates that cell only (stale entry dropped on ``put``).
+    """
+
+    _CELLS = "cells.json"
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._path = os.path.join(root, self._CELLS)
+        self._cells = {}
+        if os.path.exists(self._path):
+            with open(self._path) as fh:
+                self._cells = json.load(fh)
+
+    @staticmethod
+    def _slug(key: str) -> str:
+        return "".join(c if c.isalnum() or c in "-_." else "_" for c in key)
+
+    def cell_dir(self, key: str) -> str:
+        return os.path.join(self.root, self._slug(key))
+
+    def get(self, key: str, fingerprint: str):
+        rec = self._cells.get(key)
+        if rec is not None and rec.get("fingerprint") == fingerprint:
+            return rec["value"]
+        return None
+
+    def put(self, key: str, fingerprint: str, value) -> None:
+        self._cells[key] = {"fingerprint": fingerprint, "value": value}
+        self._flush()
+
+    def drop(self, key: str, clear_checkpoint: bool = False) -> None:
+        """Forget a finished cell (e.g. --fresh re-measurement).
+
+        ``clear_checkpoint=True`` also deletes the cell's episode-level
+        checkpoint state so the re-run actually recomputes (a completed
+        run_supervised checkpoint would otherwise just resume-at-end)."""
+        if self._cells.pop(key, None) is not None:
+            self._flush()
+        if clear_checkpoint:
+            d = self.cell_dir(key)
+            for f in (_MANIFEST, _STATE):
+                p = os.path.join(d, f)
+                if os.path.exists(p):
+                    os.remove(p)
+
+    def _flush(self) -> None:
+        tmp = self._path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self._cells, fh, indent=1)
+        os.replace(tmp, self._path)
+
+    def run_cell(self, key: str, fingerprint: str, fn):
+        """Memoized cell execution: ``fn(checkpoint_dir) -> json-able``.
+
+        Returns ``(value, was_cached)``; on a miss, runs ``fn`` with the
+        cell's private checkpoint dir (pass it to ``run_supervised`` /
+        ``run_supervised_batched`` for episode-level resume) and records
+        the result.
+        """
+        cached = self.get(key, fingerprint)
+        if cached is not None:
+            return cached, True
+        value = fn(self.cell_dir(key))
+        self.put(key, fingerprint, value)
+        return value, False

@@ -8,6 +8,15 @@ quadjax/envs/quadrotor.py:564-579) before its throughput number counts.
 This script runs the mode matrix and rewrites the "Speed-mode quality
 gates" section of RESULTS.md between marker comments (idempotent).
 
+The matrix is hours of TPU time on this box and the tunnel drops for
+hours at a stretch (CLAUDE.md), so every cell runs SUPERVISED
+(runtime/supervisor.py): finished cells are memoized in
+<checkpoint-root>/cells.json and the in-flight cell checkpoints every
+chunk — kill the process anywhere and re-running the same command
+resumes without recomputing a finished episode. --fresh discards the
+memo (cells re-run; in-flight episode checkpoints keep resuming),
+--unsupervised restores the bare evaluate() path.
+
 Usage: python -u scripts/mode_gates.py [--quick] [--n 8192] [--out RESULTS.md]
 """
 
@@ -33,7 +42,7 @@ def run_matrix(args):
     enable_compile_cache()
 
     from covo_mpc_tpu.models import EnvConfig, QuadEnv
-    from covo_mpc_tpu.runtime import evaluate
+    from covo_mpc_tpu.runtime import CellStore, evaluate, run_supervised
     from covo_mpc_tpu.solvers import get_solver
 
     env = QuadEnv(
@@ -60,6 +69,7 @@ def run_matrix(args):
         ("covo gn+kernel-rng N=1024", "covo_online", "kernel", "gn", 1024),
     ]
 
+    store = None if args.unsupervised else CellStore(args.checkpoint_root)
     rows = []
     for tag, name, rng, hmode, n in matrix:
         pstr = f"N{n}_H{args.h}_lam0.01"
@@ -67,13 +77,36 @@ def run_matrix(args):
             env, name, pstr, rng_mode=rng, hessian_mode=hmode,
             collect_debug=False, engine=args.engine, sigma_mode=args.sigma_mode,
         )
-        t0 = time.time()
-        res = evaluate(env, solver, total_steps=total_steps)
-        wall = time.time() - t0
+        fp = (f"{args.task}/{name}/{pstr}/{rng}/{hmode}/{args.engine}/"
+              f"{args.sigma_mode}/steps={total_steps}")
+
+        def cell(ckpt_dir, solver=solver, fp=fp):
+            t0 = time.time()
+            res = run_supervised(
+                env, solver, total_steps=total_steps,
+                checkpoint_dir=ckpt_dir, chunk_episodes=4, fingerprint=fp,
+            )
+            return dict(mean=res.mean * 100, std=res.std * 100,
+                        wall=time.time() - t0,
+                        failed=int(res.failed.sum()))
+
+        if store is None:
+            t0 = time.time()
+            res = evaluate(env, solver, total_steps=total_steps)
+            rec, cached = dict(mean=res.mean * 100, std=res.std * 100,
+                               wall=time.time() - t0, failed=0), False
+        else:
+            key = f"{name}_N{n}_{rng}_{hmode}"
+            if args.fresh:
+                store.drop(key, clear_checkpoint=True)
+            rec, cached = store.run_cell(key, fp, cell)
         rows.append(dict(tag=tag, name=name, rng=rng, hessian=hmode, n=n,
-                         mean=res.mean * 100, std=res.std * 100, wall=wall))
-        print(f"{tag:28s} err_pos = {res.mean*100:6.2f} +/- {res.std*100:5.2f} cm"
-              f"  (wall {wall:.0f}s)", file=sys.stderr, flush=True)
+                         **rec))
+        print(f"{tag:28s} err_pos = {rec['mean']:6.2f} +/- "
+              f"{rec['std']:5.2f} cm  (wall {rec['wall']:.0f}s"
+              f"{', cached' if cached else ''}"
+              f"{', %d ep FAILED' % rec['failed'] if rec['failed'] else ''})",
+              file=sys.stderr, flush=True)
     return rows, total_steps, str(jax.devices()[0])
 
 
@@ -88,6 +121,13 @@ def main():
     ap.add_argument("--sigma-mode", default="ns")
     ap.add_argument("--out", default="RESULTS.md")
     ap.add_argument("--json", default="results_mode_gates.json")
+    ap.add_argument("--checkpoint-root", default="results/ckpt_mode_gates",
+                    help="CellStore root: finished cells memoized, "
+                         "in-flight cell checkpointed per 4-episode chunk")
+    ap.add_argument("--fresh", action="store_true",
+                    help="discard memoized cells (force re-measurement)")
+    ap.add_argument("--unsupervised", action="store_true",
+                    help="bare evaluate() per cell (no checkpoint/resume)")
     args = ap.parse_args()
 
     rows, total_steps, device = run_matrix(args)

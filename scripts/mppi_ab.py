@@ -10,7 +10,15 @@ same harness as scripts/designer_ab.py:
   det         deterministic rollouts (no in-kernel disturbance draws) —
               NOT valid semantics (reference rolls stochastically,
               mppi.py:69), timing only
-  no_cov      covariance blend update stubbed (mean update kept)
+  no_cov      covariance blend update stubbed (mean update kept).
+              HISTORICAL: the 0.013 ms ceiling this variant measured was
+              against the pre-r4 solve that always ran the blend; the
+              shipped solve now skips it entirely via the gamma_sigma==0
+              lax.cond (ops/reductions.py), which is what converted that
+              ceiling into the 0.086->0.074 ms win. Today no_cov stubs a
+              branch that never executes at the paper config, so it
+              measures ~0 by construction — it stays only as a regression
+              tripwire (a nonzero delta means the cond stopped firing).
   no_chol     the per-solve (H,4,4) batched Cholesky replaced by a
               constant factor — timing only
 

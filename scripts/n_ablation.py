@@ -12,6 +12,12 @@ Runs the fused Pallas rollout engine at every N on TPU (ragged sample
 counts are tile-padded by the kernel) — the same engine the flagship
 benchmark uses, so quality and throughput claims share one code path.
 
+The 21-cell sweep is hours of TPU time; every cell runs SUPERVISED
+(runtime/supervisor.py — finished cells memoized in
+<checkpoint-root>/cells.json, in-flight cell checkpointed per episode
+chunk), so a tunnel drop mid-sweep resumes instead of restarting.
+--fresh forces re-measurement, --unsupervised restores bare evaluate().
+
 Usage: python scripts/n_ablation.py [--quick] [--ns 16 64 256]
 """
 
@@ -36,13 +42,18 @@ def main():
     ap.add_argument("--out", default="RESULTS_N.md")
     ap.add_argument("--controllers", nargs="+",
                     default=["mppi", "covo_online", "covo_offline"])
+    ap.add_argument("--checkpoint-root", default="results/ckpt_n_ablation")
+    ap.add_argument("--fresh", action="store_true",
+                    help="discard memoized cells (force re-measurement)")
+    ap.add_argument("--unsupervised", action="store_true",
+                    help="bare evaluate() per cell (no checkpoint/resume)")
     args = ap.parse_args()
 
     import jax
 
     from covo_mpc_tpu.models import EnvConfig, QuadEnv
     from covo_mpc_tpu.ops import sampling
-    from covo_mpc_tpu.runtime import evaluate
+    from covo_mpc_tpu.runtime import CellStore, evaluate, run_supervised
     from covo_mpc_tpu.solvers import get_solver
 
     env = QuadEnv(
@@ -56,6 +67,7 @@ def main():
     )
     total_steps = 300 * 4 * (1 if args.quick else 10)
 
+    store = None if args.unsupervised else CellStore(args.checkpoint_root)
     results = {}
     for n in args.ns:
         for name in args.controllers:
@@ -65,12 +77,31 @@ def main():
                 collect_debug=False, sigma_mode="ns" if "covo" in name else "eigh",
                 engine="auto",
             )
+            fp = (f"{args.task}/{name}/N{n}_H{args.h}/fast/auto/"
+                  f"steps={total_steps}")
+
+            def cell(ckpt_dir, solver=solver, fp=fp):
+                res = run_supervised(
+                    env, solver, total_steps=total_steps,
+                    checkpoint_dir=ckpt_dir, chunk_episodes=4,
+                    fingerprint=fp,
+                )
+                return [res.mean * 100, res.std * 100]
+
             t0 = time.time()
-            res = evaluate(env, solver, total_steps=total_steps)
-            results[(n, name)] = (res.mean * 100, res.std * 100)
+            if store is None:
+                res = evaluate(env, solver, total_steps=total_steps)
+                rec, cached = [res.mean * 100, res.std * 100], False
+            else:
+                key = f"N{n}_{name}"
+                if args.fresh:
+                    store.drop(key, clear_checkpoint=True)
+                rec, cached = store.run_cell(key, fp, cell)
+            results[(n, name)] = tuple(rec)
             print(
-                f"N={n:5d} {name:14s} err_pos = {res.mean*100:6.2f} "
-                f"+/- {res.std*100:5.2f} cm  ({time.time()-t0:.0f}s)",
+                f"N={n:5d} {name:14s} err_pos = {rec[0]:6.2f} "
+                f"+/- {rec[1]:5.2f} cm  ({time.time()-t0:.0f}s"
+                f"{', cached' if cached else ''})",
                 file=sys.stderr,
             )
 

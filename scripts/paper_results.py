@@ -8,6 +8,12 @@ CoVO-offline on tracking_zigzag without domain randomization, and writes
 RESULTS.md. The paper (arXiv:2401.07369) reports CoVO beating MPPI by
 43-54% on tracking cost.
 
+Each controller row runs SUPERVISED (runtime/supervisor.py): finished
+rows are memoized in <checkpoint-root>/cells.json and the in-flight row
+checkpoints per episode chunk, so a tunnel drop mid-table resumes
+instead of restarting. --fresh forces re-measurement, --unsupervised
+restores bare evaluate().
+
 Usage: python scripts/paper_results.py [--n 8192] [--h 32] [--quick]
 """
 
@@ -43,6 +49,11 @@ def main():
                     choices=["fwd_fwd", "fwd_rev", "sensitivity", "adjoint", "gn"],
                     help="CoVO Hessian estimator (gn = Gauss-Newton "
                          "approximation; quality-gates that mode)")
+    ap.add_argument("--checkpoint-root", default="results/ckpt_paper")
+    ap.add_argument("--fresh", action="store_true",
+                    help="discard memoized cells (force re-measurement)")
+    ap.add_argument("--unsupervised", action="store_true",
+                    help="bare evaluate() per cell (no checkpoint/resume)")
     args = ap.parse_args()
 
     import jax
@@ -53,7 +64,7 @@ def main():
 
     from covo_mpc_tpu.models import EnvConfig, QuadEnv
     from covo_mpc_tpu.ops import sampling
-    from covo_mpc_tpu.runtime import evaluate
+    from covo_mpc_tpu.runtime import CellStore, evaluate, run_supervised
     from covo_mpc_tpu.solvers import get_solver
 
     env = QuadEnv(
@@ -68,6 +79,7 @@ def main():
     total_steps = 300 * 4 * (1 if args.quick else 10)
     pstr = f"N{args.n}_H{args.h}_lam0.01"
 
+    store = None if args.unsupervised else CellStore(args.checkpoint_root)
     rows = []
     for name in args.controllers:
         sampled = name != "pid"
@@ -78,12 +90,32 @@ def main():
             engine=args.engine if sampled else "jnp",
             sigma_mode=args.sigma_mode,
         )
-        t0 = time.time()
-        res = evaluate(env, solver, total_steps=total_steps)
-        wall = time.time() - t0
-        rows.append((name, res.mean * 100, res.std * 100, wall))
-        print(f"{name:14s} err_pos = {res.mean*100:6.2f} +/- {res.std*100:5.2f} cm"
-              f"  (eval wall {wall:.0f}s)", file=sys.stderr)
+        fp = (f"{args.task}/{name}/{pstr}/{args.rng}/{args.hessian_mode}/"
+              f"{args.engine}/{args.sigma_mode}/{args.disturb_type}/"
+              f"steps={total_steps}")
+
+        def cell(ckpt_dir, solver=solver, fp=fp):
+            t0 = time.time()
+            res = run_supervised(
+                env, solver, total_steps=total_steps,
+                checkpoint_dir=ckpt_dir, chunk_episodes=4, fingerprint=fp,
+            )
+            return [res.mean * 100, res.std * 100, time.time() - t0]
+
+        if store is None:
+            t0 = time.time()
+            res = evaluate(env, solver, total_steps=total_steps)
+            rec, cached = [res.mean * 100, res.std * 100,
+                           time.time() - t0], False
+        else:
+            key = f"{name}_{args.task}_{args.disturb_type}"
+            if args.fresh:
+                store.drop(key, clear_checkpoint=True)
+            rec, cached = store.run_cell(key, fp, cell)
+        rows.append((name, rec[0], rec[1], rec[2]))
+        print(f"{name:14s} err_pos = {rec[0]:6.2f} +/- {rec[1]:5.2f} cm"
+              f"  (eval wall {rec[2]:.0f}s{', cached' if cached else ''})",
+              file=sys.stderr)
 
     mppi = next((r for r in rows if r[0] == "mppi"), None)
     lines = [

@@ -15,8 +15,12 @@ import numpy as np
 import pytest
 
 from covo_mpc_tpu.models import EnvConfig, QuadEnv
-from covo_mpc_tpu.runtime import evaluate
-from covo_mpc_tpu.runtime.supervisor import run_supervised
+from covo_mpc_tpu.runtime import evaluate, evaluate_batched
+from covo_mpc_tpu.runtime.supervisor import (
+    CellStore,
+    run_supervised,
+    run_supervised_batched,
+)
 from covo_mpc_tpu.solvers import get_solver
 from covo_mpc_tpu.solvers.pid import PIDParams, PIDSolver
 
@@ -138,6 +142,112 @@ def test_numeric_failure_excluded(tmp_path):
     assert np.isnan(sup.mean)
     assert any(e["kind"] == "numeric_failure" for e in sup.events)
     assert "FAILED" in sup.summary()
+
+
+def test_non_divisible_total_matches_evaluate(tmp_path):
+    """total_steps not divisible by num_trajs*episode: the supervisor runs
+    the SAME effective episode count evaluate() truncates to (advisor r4:
+    the old sizing crashed the tail chunk with a broadcast error, and the
+    crash recurred identically on resume)."""
+    env = make_env()
+    solver, _ = get_solver(env, "pid")
+    # 5 episodes' worth of steps, 4 trajectories -> evaluate runs 4
+    ref = evaluate(env, solver, total_steps=1500, seed=1)
+    sup = run_supervised(
+        env, solver, total_steps=1500, seed=1,
+        checkpoint_dir=str(tmp_path / "ckpt"), chunk_episodes=3,
+    )
+    assert sup.err_pos_ep.shape == ref.err_pos_ep.shape == (4,)
+    np.testing.assert_array_equal(
+        np.asarray(sup.err_pos_ep, np.float32), np.asarray(ref.err_pos_ep)
+    )
+
+
+def test_batched_supervised_matches_evaluate_batched(tmp_path):
+    """Chunked batched supervision reproduces evaluate_batched per-episode
+    values (tolerance: the chunk's vmap width IS the program shape, so
+    fusion may differ by ulps) including a ragged tail chunk."""
+    env = make_env()
+    solver, _ = get_solver(env, "pid")
+    ref = evaluate_batched(env, solver, num_eps=5, seed=2)
+    sup = run_supervised_batched(
+        env, solver, num_eps=5, seed=2,
+        checkpoint_dir=str(tmp_path / "ckpt"), chunk_episodes=2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sup.err_pos_ep), np.asarray(ref.err_pos_ep),
+        rtol=1e-5, atol=1e-7,
+    )
+    assert not sup.failed.any()
+    with open(tmp_path / "ckpt" / "manifest.json") as fh:
+        m = json.load(fh)
+    assert m["completed"] == 3 and m["protocol"] == "batched"
+
+
+def test_batched_crash_then_resume(tmp_path):
+    """kill mid-run -> resume completes the remaining chunks only, and the
+    final result is bitwise-identical to an uninterrupted supervised run
+    (same chunk programs, chunks independent in the batched protocol)."""
+    env = make_env()
+    solver, _ = get_solver(env, "pid")
+    ckpt = str(tmp_path / "ckpt")
+    ref = run_supervised_batched(env, solver, num_eps=6, seed=4,
+                                 chunk_episodes=2)
+
+    def hook(chunk, attempt):
+        if chunk == 2:
+            raise RuntimeError("persistent outage")
+
+    with pytest.raises(RuntimeError, match="re-run the same command"):
+        run_supervised_batched(
+            env, solver, num_eps=6, seed=4, checkpoint_dir=ckpt,
+            chunk_episodes=2, max_retries=0, _fault_hook=hook,
+        )
+    sup = run_supervised_batched(
+        env, solver, num_eps=6, seed=4, checkpoint_dir=ckpt,
+        chunk_episodes=2,
+    )
+    assert sup.resumed_at_chunk == 2
+    np.testing.assert_array_equal(
+        np.asarray(sup.err_pos_ep), np.asarray(ref.err_pos_ep)
+    )
+
+
+def test_cell_store_resumes_matrix(tmp_path):
+    """A sweep interrupted mid-matrix resumes without recomputing finished
+    cells; a fingerprint change invalidates exactly that cell."""
+    store = CellStore(str(tmp_path / "sweep"))
+    calls = []
+
+    def run_matrix(store, fail_at=None):
+        out = {}
+        for cell in ("a", "b", "c"):
+            def fn(ckpt_dir, cell=cell):
+                calls.append(cell)
+                if cell == fail_at:
+                    raise RuntimeError("tunnel outage")
+                assert ckpt_dir.startswith(store.root)
+                return {"mean": {"a": 1.0, "b": 2.0, "c": 3.0}[cell]}
+
+            out[cell], _ = store.run_cell(cell, "fp1", fn)
+        return out
+
+    with pytest.raises(RuntimeError):
+        run_matrix(store, fail_at="c")
+    assert calls == ["a", "b", "c"]
+
+    # resume IN A FRESH PROCESS (fresh store over the same root): a and b
+    # come from cells.json, only c recomputes
+    store2 = CellStore(str(tmp_path / "sweep"))
+    out = run_matrix(store2)
+    assert calls == ["a", "b", "c", "c"]
+    assert out == {"a": {"mean": 1.0}, "b": {"mean": 2.0}, "c": {"mean": 3.0}}
+
+    # fingerprint change -> that cell recomputes
+    v, cached = store2.run_cell("b", "fp2", lambda d: {"mean": 9.0})
+    assert v == {"mean": 9.0} and not cached
+    assert store2.get("b", "fp1") is None
+    assert CellStore(str(tmp_path / "sweep")).get("a", "fp1") == {"mean": 1.0}
 
 
 def test_probe_gates_retry():
