@@ -174,7 +174,7 @@ def get_disturb_fn(disturb_type: str):
     return DISTURB_FNS[disturb_type]
 
 
-def derive_dynamics_keys(step_key: jax.Array):
+def derive_dynamics_keys(step_key: jax.Array, fast: bool = False):
     """Replicate the reference's key-split chain from `step_env`'s key down to
     the disturbance draw (parity-critical, SURVEY §3.6).
 
@@ -183,7 +183,18 @@ def derive_dynamics_keys(step_key: jax.Array):
                     disturb_key, _ = split(key')         (free.py:144)
 
     Returns (disturb_key,).
+
+    ``fast=True`` short-circuits to ``step_key`` itself: the three
+    sequential threefry splits exist only to REPLICATE the reference's
+    key tree, and inside a rollout solve the step key has no other
+    consumer, so using it directly is collision-free and the downstream
+    draw still hashes it. The chain is pure serial scalar-u32 work on
+    the solve's critical path — device-trace measured 9.1 us of the
+    62 us MPPI kernel-rng solve (scripts/kernel_ab.py). Only non-parity
+    sampler modes may pass fast=True (quality re-gated, RESULTS.md).
     """
+    if fast:
+        return step_key
     step_key2 = jax.random.split(step_key)[1]
     key2 = jax.random.split(step_key2)[0]
     disturb_key = jax.random.split(key2)[0]

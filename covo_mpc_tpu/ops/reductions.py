@@ -91,3 +91,44 @@ def cov_update_t(weight, a_t, a_mean_new, a_cov, gamma_sigma):
         return weighted * gamma_sigma + a_cov * (1.0 - gamma_sigma)
 
     return jax.lax.cond(gamma_sigma == 0.0, lambda _: a_cov, blended, None)
+
+
+def cov_factor_update(weight, a_sampled, a_mean_new, a_cov, a_chol,
+                      gamma_sigma):
+    """:func:`cov_factor_update_t` on (N, H, dA) samples (jnp engine)."""
+
+    def blended(_):
+        dev = a_sampled - a_mean_new[None]
+        weighted = jnp.einsum("n,nhi,nhj->hij", weight, dev, dev)
+        new_cov = weighted * gamma_sigma + a_cov * (1.0 - gamma_sigma)
+        return new_cov, jnp.linalg.cholesky(new_cov)
+
+    return jax.lax.cond(
+        gamma_sigma == 0.0, lambda _: (a_cov, a_chol), blended, None
+    )
+
+
+def cov_factor_update_t(weight, a_t, a_mean_new, a_cov, a_chol, gamma_sigma):
+    """:func:`cov_update_t` that also maintains the Cholesky factor.
+
+    The MPPI sampler needs chol(a_cov) every solve; deriving it from the
+    carried covariance puts a (H, dA, dA) batched Cholesky custom-call on
+    the hot path even when gamma_sigma == 0 leaves a_cov untouched
+    (XLA cannot hoist through the carried cond — device trace measured it
+    at 13.2 us of the 75 us kernel-rng solve, results/roofline_mppi.json).
+    Carrying the factor and refreshing it only inside the blended branch
+    removes that cost exactly when the blend is the identity; the
+    receding-horizon row shift commutes with the per-step factorization
+    (chol acts on each (dA, dA) block independently), so the shifted
+    carried factor stays exact. Returns ``(a_cov, a_chol)``.
+    """
+
+    def blended(_):
+        dev = a_t - a_mean_new[..., None]
+        weighted = jnp.einsum("n,hin,hjn->hij", weight, dev, dev)
+        new_cov = weighted * gamma_sigma + a_cov * (1.0 - gamma_sigma)
+        return new_cov, jnp.linalg.cholesky(new_cov)
+
+    return jax.lax.cond(
+        gamma_sigma == 0.0, lambda _: (a_cov, a_chol), blended, None
+    )

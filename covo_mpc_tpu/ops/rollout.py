@@ -69,7 +69,7 @@ def _make_done(env: QuadEnv):
     return done_fn
 
 
-def make_rollout(env: QuadEnv):
+def make_rollout(env: QuadEnv, fast_keys: bool = False):
     """Build the sampled-rollout cost engine for ``env``.
 
     Returns ``rollout_costs(x0, t0, pos_traj, vel_traj, actions, params,
@@ -109,8 +109,9 @@ def make_rollout(env: QuadEnv):
         params = params.replace(
             dyn_noise_scale=params.dyn_noise_scale * (1.0 - deterministic)
         )
-        # one disturbance key for the whole solve (reference: mppi.py:69)
-        disturb_key = dynamics.derive_dynamics_keys(step_key)
+        # one disturbance key for the whole solve (reference: mppi.py:69);
+        # fast_keys skips the parity key-split chain (models/dynamics.py)
+        disturb_key = dynamics.derive_dynamics_keys(step_key, fast=fast_keys)
         x = jnp.broadcast_to(x0, (N,) + x0.shape)
 
         init_r = jnp.zeros(N)

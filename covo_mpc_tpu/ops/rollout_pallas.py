@@ -119,7 +119,8 @@ NSCAL = 17
 NINT = 3  # [t0, max_steps, disturb_period]
 
 
-def build_disturb_table(env: QuadEnv, x0, t0, params, step_key, deterministic, H):
+def build_disturb_table(env: QuadEnv, x0, t0, params, step_key, deterministic,
+                        H, fast_keys: bool = False):
     """(H, 3) table: the f_disturb in effect during step h.
 
     Step 0 integrates with the start state's own disturbance; step h >= 1
@@ -130,7 +131,7 @@ def build_disturb_table(env: QuadEnv, x0, t0, params, step_key, deterministic, H
     params = params.replace(
         dyn_noise_scale=params.dyn_noise_scale * (1.0 - deterministic)
     )
-    disturb_key = dynamics.derive_dynamics_keys(step_key)
+    disturb_key = dynamics.derive_dynamics_keys(step_key, fast=fast_keys)
     f0 = x0[FDIST]
     disturb_fn = env.disturb_fn
 
@@ -149,7 +150,7 @@ def build_disturb_table(env: QuadEnv, x0, t0, params, step_key, deterministic, H
 
 
 def build_kernel_disturb(env: QuadEnv, x0, t0, params, step_key,
-                         deterministic, H):
+                         deterministic, H, fast_keys: bool = False):
     """Disturbance inputs for the fused kernel: ``(table (H,3), draw (3,))``.
 
     For state-independent models the table holds the f_disturb in effect
@@ -169,12 +170,29 @@ def build_kernel_disturb(env: QuadEnv, x0, t0, params, step_key,
         mppi.py:69-74) and enters as a scalar.
     """
     dtype = env.config.disturb_type
+    if dtype in ("gaussian", "none"):
+        # the whole (H, 3) table is [f0, d, d, ...]: f0 already rides in
+        # x0[13:16] and the one shared draw d fits the scal draw lanes, so
+        # the kernel reconstructs it for free ("shared" mode) — building
+        # and re-materializing the table into the SMEM operand every solve
+        # measured ~10 us of the 62 us kernel-rng MPPI solve (solve-level
+        # A/B, DESIGN.md §5 kernel table)
+        params = params.replace(
+            dyn_noise_scale=params.dyn_noise_scale * (1.0 - deterministic)
+        )
+        if deterministic is True:
+            # static deterministic: gaussian/none scale the draw by
+            # dyn_noise_scale*(1-1)=0 — skip the key chain + draw outright
+            return jnp.zeros((H, 3), jnp.float32), jnp.zeros(3, jnp.float32)
+        disturb_key = dynamics.derive_dynamics_keys(step_key, fast=fast_keys)
+        d = env.disturb_fn(disturb_key, params, t0, None, jnp.zeros(3))
+        return jnp.zeros((H, 3), jnp.float32), d
     if dtype not in ("drag", "mixed"):
         table = build_disturb_table(env, x0, t0, params, step_key,
-                                    deterministic, H)
+                                    deterministic, H, fast_keys)
         return table, jnp.zeros(3, jnp.float32)
 
-    disturb_key = dynamics.derive_dynamics_keys(step_key)
+    disturb_key = dynamics.derive_dynamics_keys(step_key, fast=fast_keys)
     draw = jax.random.uniform(
         disturb_key, (3,), minval=-params.disturb_scale,
         maxval=params.disturb_scale,
@@ -189,7 +207,7 @@ def build_kernel_disturb(env: QuadEnv, x0, t0, params, step_key,
 
 
 def _pack_kernel_inputs(env, x0, t0, pos_traj, vel_traj, params, step_key,
-                        deterministic, discount, H):
+                        deterministic, discount, H, fast_keys: bool = False):
     """Flattened SMEM operands shared by both rollout kernels:
     (ptar, vtar, disturbance table, scal (NSCAL,), ints (NINT,))."""
     T = pos_traj.shape[0]
@@ -197,22 +215,29 @@ def _pack_kernel_inputs(env, x0, t0, pos_traj, vel_traj, params, step_key,
     ptar = pos_traj[idx].reshape(-1)
     vtar = vel_traj[idx].reshape(-1)
     table, draw = build_kernel_disturb(
-        env, x0, t0, params, step_key, deterministic, H
+        env, x0, t0, params, step_key, deterministic, H, fast_keys
     )
     dp = params.disturb_params
-    scal = jnp.stack(
+    # the 14 static lanes get their OWN stack: params/discount are loop
+    # constants in a chained control loop, so XLA hoists this whole chain
+    # out of the scan; folding the per-solve draw into the same stack
+    # taints all 17 lanes and re-runs ~10 tiny stack ops every solve
+    # (trace-measured 15 us of the 62 us MPPI solve, scripts/kernel_ab.py)
+    scal_static = jnp.stack(
         [
             params.m, params.g, jnp.float32(env._dt), params.alpha_bodyrate,
             params.action_scale, params.max_thrust,
             params.max_omega[0], params.max_omega[1], params.max_omega[2],
             jnp.float32(discount),
             params.disturb_scale, dp[0], dp[1], dp[2],
-            draw[0], draw[1], draw[2],
         ]
     ).astype(jnp.float32)
-    ints = jnp.array(
-        [t0, params.max_steps_in_episode, params.disturb_period],
-        dtype=jnp.int32,
+    scal = jnp.concatenate([scal_static, draw.astype(jnp.float32)])
+    ints_static = jnp.array(
+        [params.max_steps_in_episode, params.disturb_period], jnp.int32
+    )
+    ints = jnp.concatenate(
+        [jnp.asarray(t0, jnp.int32)[None], ints_static]
     )
     return ptar, vtar, table.reshape(-1), scal, ints
 
@@ -316,13 +341,21 @@ def _rollout_kernel(
     )
     vx, vy, vz = bc(x0_ref[xo + 7]), bc(x0_ref[xo + 8]), bc(x0_ref[xo + 9])
     wx, wy, wz = bc(x0_ref[xo + 10]), bc(x0_ref[xo + 11]), bc(x0_ref[xo + 12])
-    if disturb_mode != "table":
+    if disturb_mode in ("drag", "mixed"):
         # velocity-dependent disturbance: per-sample carry from x0's f
         fdx, fdy, fdz = (
             bc(x0_ref[xo + 13]), bc(x0_ref[xo + 14]), bc(x0_ref[xo + 15])
         )
         abs_ds = jnp.abs(scal_ref[so + _DSCALE])
         wind = (scal_ref[so + _DP0], scal_ref[so + _DP1], scal_ref[so + _DP2])
+        draw = (
+            scal_ref[so + _DRAW0], scal_ref[so + _DRAW1], scal_ref[so + _DRAW2]
+        )
+    elif disturb_mode == "shared":
+        # gaussian/none: step 0 integrates with x0's own f, every later
+        # step with the one shared draw (key-reuse quirk) — the values a
+        # "table" build would hold, read straight from x0/scal instead
+        f0 = (x0_ref[xo + 13], x0_ref[xo + 14], x0_ref[xo + 15])
         draw = (
             scal_ref[so + _DRAW0], scal_ref[so + _DRAW1], scal_ref[so + _DRAW2]
         )
@@ -356,6 +389,8 @@ def _rollout_kernel(
             fdx = dist_ref[to + 3 * h]
             fdy = dist_ref[to + 3 * h + 1]
             fdz = dist_ref[to + 3 * h + 2]
+        elif disturb_mode == "shared":
+            fdx, fdy, fdz = f0 if h == 0 else draw  # h static: free select
 
         # ---- reward on the PRE-step state (reference: quadrotor.py:243);
         # single definition in models/scalar_core, polynomial atan2 injected
@@ -392,7 +427,7 @@ def _rollout_kernel(
         # f for the NEXT step comes from the PRE-step velocity
         # (reference: free.py:147 updates after integrating with the
         # carried f; free.py:41-56). Elementwise on the velocity slabs.
-        if disturb_mode != "table":
+        if disturb_mode in ("drag", "mixed"):
             relx, rely, relz = (
                 vx - wind[0] * 0.5, vy - wind[1] * 0.5, vz - wind[2] * 0.5
             )
@@ -458,7 +493,7 @@ def _rollout_kernel(
             (fdx, fdy, fdz),
             m, g, dt, alpha, ascale, max_thrust, mo,
         )
-        if disturb_mode != "table":
+        if disturb_mode in ("drag", "mixed"):
             fdx, fdy, fdz = fdnx, fdny, fdnz
 
     if batched:
@@ -467,7 +502,8 @@ def _rollout_kernel(
         cost_ref[:, :] = cost
 
 
-def make_pallas_rollout(env: QuadEnv, interpret: bool = False):
+def make_pallas_rollout(env: QuadEnv, interpret: bool = False,
+                        fast_keys: bool = False):
     """Build the fused rollout-cost engine. Same contract as
     ops.rollout.make_rollout's `rollout_costs` (fast path: no pose
     collection). Supports every disturbance model (velocity-dependent
@@ -479,7 +515,9 @@ def make_pallas_rollout(env: QuadEnv, interpret: bool = False):
     check_rollover = not env.config.disable_rollover_terminate
     disturb_mode = (
         env.config.disturb_type
-        if env.config.disturb_type in ("drag", "mixed") else "table"
+        if env.config.disturb_type in ("drag", "mixed")
+        else ("shared" if env.config.disturb_type in ("gaussian", "none")
+              else "table")
     )
 
     def rollout_costs(
@@ -528,7 +566,7 @@ def make_pallas_rollout(env: QuadEnv, interpret: bool = False):
 
         ptar, vtar, dist, scal, ints = _pack_kernel_inputs(
             env, x0, t0, pos_traj, vel_traj, params, step_key,
-            deterministic, discount, H,
+            deterministic, discount, H, fast_keys,
         )
 
         # -> (H, 4, SUB, lanes); sample n sits at
@@ -576,7 +614,8 @@ def make_pallas_rollout(env: QuadEnv, interpret: bool = False):
     return rollout_costs
 
 
-def make_pallas_rollout_sampling(env: QuadEnv, interpret: bool = False):
+def make_pallas_rollout_sampling(env: QuadEnv, interpret: bool = False,
+                                 fast_keys: bool = False):
     """Fused SAMPLE + rollout engine: the per-step MVN action draw runs
     inside the rollout kernel, so neither the (H, dA, N) standard-normal
     tensor nor a separately-materialized action tensor ever crosses HBM on
@@ -601,7 +640,9 @@ def make_pallas_rollout_sampling(env: QuadEnv, interpret: bool = False):
     check_rollover = not env.config.disable_rollover_terminate
     disturb_mode = (
         env.config.disturb_type
-        if env.config.disturb_type in ("drag", "mixed") else "table"
+        if env.config.disturb_type in ("drag", "mixed")
+        else ("shared" if env.config.disturb_type in ("gaussian", "none")
+              else "table")
     )
     gen = "input_z" if (interpret or jax.default_backend() != "tpu") else "prng"
 
@@ -620,7 +661,7 @@ def make_pallas_rollout_sampling(env: QuadEnv, interpret: bool = False):
 
         ptar, vtar, dist, scal, ints = _pack_kernel_inputs(
             env, x0, t0, pos_traj, vel_traj, params, step_key,
-            deterministic, discount, H,
+            deterministic, discount, H, fast_keys,
         )
         if gen == "prng":
             # any 32 bits of the key: the kernel PRNG needs one i32 seed
@@ -686,7 +727,8 @@ def make_pallas_rollout_sampling(env: QuadEnv, interpret: bool = False):
     return rollout_sample
 
 
-def make_pallas_rollout_joint_sampling(env: QuadEnv, interpret: bool = False):
+def make_pallas_rollout_joint_sampling(env: QuadEnv, interpret: bool = False,
+                                       fast_keys: bool = False):
     """Fused JOINT sample + rollout engine for CoVO: the (H·dA)-dimensional
     MVN draw a = clip(mean + F z) runs inside the rollout kernel — z comes
     from the TPU hardware PRNG and the correlation F z is one MXU
@@ -709,7 +751,9 @@ def make_pallas_rollout_joint_sampling(env: QuadEnv, interpret: bool = False):
     check_rollover = not env.config.disable_rollover_terminate
     disturb_mode = (
         env.config.disturb_type
-        if env.config.disturb_type in ("drag", "mixed") else "table"
+        if env.config.disturb_type in ("drag", "mixed")
+        else ("shared" if env.config.disturb_type in ("gaussian", "none")
+              else "table")
     )
     gen = "input_z" if (interpret or jax.default_backend() != "tpu") else "prng"
 
@@ -731,7 +775,7 @@ def make_pallas_rollout_joint_sampling(env: QuadEnv, interpret: bool = False):
 
         ptar, vtar, dist, scal, ints = _pack_kernel_inputs(
             env, x0, t0, pos_traj, vel_traj, params, step_key,
-            deterministic, discount, H,
+            deterministic, discount, H, fast_keys,
         )
         if gen == "prng":
             gen_arg = jax.lax.bitcast_convert_type(
@@ -795,7 +839,8 @@ def make_pallas_rollout_joint_sampling(env: QuadEnv, interpret: bool = False):
     return rollout_sample
 
 
-def make_pallas_rollout_batched(env: QuadEnv, interpret: bool = False):
+def make_pallas_rollout_batched(env: QuadEnv, interpret: bool = False,
+                                fast_keys: bool = False):
     """Scenario-batched fused rollout: one kernel over a (B, lane-tiles)
     grid — the pod-configuration inner loop (B domain-randomized scenarios
     x N samples each). `jax.vmap` cannot batch the single-scenario kernel
@@ -810,7 +855,9 @@ def make_pallas_rollout_batched(env: QuadEnv, interpret: bool = False):
     check_rollover = not env.config.disable_rollover_terminate
     disturb_mode = (
         env.config.disturb_type
-        if env.config.disturb_type in ("drag", "mixed") else "table"
+        if env.config.disturb_type in ("drag", "mixed")
+        else ("shared" if env.config.disturb_type in ("gaussian", "none")
+              else "table")
     )
 
     def rollout_costs_b(
@@ -851,7 +898,8 @@ def make_pallas_rollout_batched(env: QuadEnv, interpret: bool = False):
 
         ptar, vtar, dist, scal, ints = jax.vmap(
             lambda x0, t0, pt, vt, p, k: _pack_kernel_inputs(
-                env, x0, t0, pt, vt, p, k, deterministic, discount, H
+                env, x0, t0, pt, vt, p, k, deterministic, discount, H,
+                fast_keys,
             )
         )(x0s, t0s, pos_trajs, vel_trajs, params_b, step_keys)
 
@@ -907,7 +955,8 @@ def make_pallas_rollout_batched(env: QuadEnv, interpret: bool = False):
 
 
 def make_pallas_rollout_batched_sampling(
-    env: QuadEnv, interpret: bool = False, joint: bool = False
+    env: QuadEnv, interpret: bool = False, joint: bool = False,
+    fast_keys: bool = False,
 ):
     """Scenario-batched fused SAMPLE + rollout: the per-scenario MVN draw
     runs inside the (B, lane-tiles) grid kernel — the scenario-batched
@@ -927,7 +976,9 @@ def make_pallas_rollout_batched_sampling(
     check_rollover = not env.config.disable_rollover_terminate
     disturb_mode = (
         env.config.disturb_type
-        if env.config.disturb_type in ("drag", "mixed") else "table"
+        if env.config.disturb_type in ("drag", "mixed")
+        else ("shared" if env.config.disturb_type in ("gaussian", "none")
+              else "table")
     )
     gen = "input_z" if (interpret or jax.default_backend() != "tpu") else "prng"
 
@@ -947,7 +998,8 @@ def make_pallas_rollout_batched_sampling(
 
         ptar, vtar, dist, scal, ints = jax.vmap(
             lambda x0, t0, pt, vt, p, k: _pack_kernel_inputs(
-                env, x0, t0, pt, vt, p, k, deterministic, discount, H
+                env, x0, t0, pt, vt, p, k, deterministic, discount, H,
+                fast_keys,
             )
         )(x0s, t0s, pos_trajs, vel_trajs, params_b, step_keys)
 

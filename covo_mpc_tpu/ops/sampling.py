@@ -54,14 +54,18 @@ def sample_per_step(
     N: int,
     mode: str = FAST,
     sample_ids: jnp.ndarray | None = None,
+    chol: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """MPPI-style sampling: independent per-step MVN blocks -> (N, H, dA).
 
     Parity mode replicates the reference key tree (mppi.py:53-65): per
     sample n, per step h, ``normal(key_{n,h}, (dA,))`` correlated through
     ``chol(a_cov[h])`` — identical normal draws, one shared factorization.
+    ``chol``: pass the carried factor (solvers/mppi.py) to skip the
+    per-solve batched Cholesky; None derives it from ``a_cov``.
     """
-    chol = jnp.linalg.cholesky(a_cov)  # (H, dA, dA), once for all N samples
+    if chol is None:
+        chol = jnp.linalg.cholesky(a_cov)  # (H, dA, dA), once for all N
     H, dA = a_mean.shape
     if mode == PARITY:
         sample_keys = jax.random.split(key, N)  # (N,) keys
@@ -123,12 +127,14 @@ def sample_per_step_t(
     N: int,
     mode: str = FAST,
     sample_ids: jnp.ndarray | None = None,
+    chol: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """:func:`sample_per_step` emitted in the fused kernel's (H, dA, N)
     layout (same draws, no materialized transpose)."""
     if mode == PARITY:  # pragma: no cover
         raise ValueError("transposed sampling is a fast-path layout")
-    chol = jnp.linalg.cholesky(a_cov)
+    if chol is None:
+        chol = jnp.linalg.cholesky(a_cov)
     H, dA = a_mean.shape
     z = _std_normal(key, N, (H, dA), mode, sample_ids)
     return a_mean[..., None] + jnp.einsum("hij,nhj->hin", chol, z)

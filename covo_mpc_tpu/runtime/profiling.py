@@ -141,3 +141,118 @@ def trace(log_dir: Optional[str]):
         return
     with jax.profiler.trace(log_dir):
         yield
+
+
+# --- device-trace analysis ------------------------------------------------
+#
+# jax.profiler writes a Perfetto-style trace.json.gz whose device process
+# carries one complete event PER EXECUTED HLO with `device_duration_ps`,
+# `hlo_category`, `model_flops`, and `bytes_accessed` — enough to measure
+# per-stage kernel time, arithmetic intensity, and (by segmenting on a
+# once-per-iteration marker HLO) the TRUE per-solve duration distribution
+# inside a chained dispatch. This works through the axon tunnel (verified:
+# the tunnel RTT never touches device timestamps).
+
+
+def load_device_trace(log_dir: str):
+    """Parse the newest trace under ``log_dir``.
+
+    Returns ``(hlo_events, module_events)``: per-HLO complete events on
+    the device process (dicts with ``name, ts_us, dur_us, category,
+    flops, bytes``) sorted by start time, and the module-level (jit_*)
+    events with ``name, ts_us, dur_us, run_id``.
+    """
+    import glob
+    import gzip
+    import json
+    import os
+
+    paths = sorted(
+        glob.glob(os.path.join(log_dir, "plugins/profile/*/*.trace.json.gz"))
+    )
+    if not paths:
+        raise FileNotFoundError(f"no trace.json.gz under {log_dir}")
+    with gzip.open(paths[-1]) as fh:
+        data = json.load(fh)
+    events = data["traceEvents"]
+    device_pids = {
+        e["pid"]
+        for e in events
+        if e.get("ph") == "M"
+        and e.get("name") == "process_name"
+        and "/device:" in e["args"].get("name", "")
+    }
+    hlos, modules = [], []
+    for e in events:
+        if e.get("ph") != "X" or e["pid"] not in device_pids:
+            continue
+        args = e.get("args", {})
+        rec = {
+            "name": e["name"],
+            "ts_us": float(e["ts"]),
+            "dur_us": float(e["dur"]),
+        }
+        if "hlo_category" in args:
+            rec["category"] = args["hlo_category"]
+            rec["flops"] = int(args.get("model_flops", 0) or 0)
+            rec["bytes"] = int(args.get("bytes_accessed", 0) or 0)
+            hlos.append(rec)
+        else:
+            rec["run_id"] = args.get("run_id")
+            modules.append(rec)
+    hlos.sort(key=lambda r: r["ts_us"])
+    modules.sort(key=lambda r: r["ts_us"])
+    return hlos, modules
+
+
+def hlo_summary(hlos, top: int = 20):
+    """Aggregate per-HLO events by op name.
+
+    Returns a list of rows (dicts) sorted by total device time:
+    ``name, category, count, total_us, mean_us, flops_per_call,
+    bytes_per_call, tflops_per_s, gbytes_per_s`` — the measured-roofline
+    inputs (utilization = tflops_per_s / peak, gbytes_per_s / peak).
+    """
+    agg = {}
+    for r in hlos:
+        a = agg.setdefault(
+            r["name"],
+            {"name": r["name"], "category": r["category"], "count": 0,
+             "total_us": 0.0, "flops": 0, "bytes": 0},
+        )
+        a["count"] += 1
+        a["total_us"] += r["dur_us"]
+        a["flops"] += r["flops"]
+        a["bytes"] += r["bytes"]
+    rows = sorted(agg.values(), key=lambda a: -a["total_us"])[:top]
+    for a in rows:
+        a["mean_us"] = a["total_us"] / a["count"]
+        a["flops_per_call"] = a["flops"] // a["count"]
+        a["bytes_per_call"] = a["bytes"] // a["count"]
+        sec = a["total_us"] * 1e-6
+        a["tflops_per_s"] = (a["flops"] / sec / 1e12) if sec else 0.0
+        a["gbytes_per_s"] = (a["bytes"] / sec / 1e9) if sec else 0.0
+        del a["flops"], a["bytes"]
+    return rows
+
+
+def step_durations(hlos, marker: str):
+    """Per-iteration durations from a once-per-iteration marker HLO.
+
+    Inside a chained dispatch (K solves in one `lax.scan`), every HLO
+    whose name contains ``marker`` starts exactly once per solve;
+    successive start timestamps give the true per-solve durations —
+    including every inter-stage gap, unlike a stage-sum — with no host
+    clock or tunnel RTT involved. Returns seconds, shape (K-1,) per
+    dispatch, concatenated over dispatches (gaps > 10x the median split
+    dispatches)."""
+    starts = np.array(
+        [r["ts_us"] for r in hlos if marker in r["name"]], np.float64
+    )
+    if len(starts) < 3:
+        raise ValueError(
+            f"marker {marker!r} matched {len(starts)} events; need >= 3"
+        )
+    deltas = np.diff(np.sort(starts))
+    med = np.median(deltas)
+    return deltas[deltas < 10 * med] * 1e-6

@@ -121,22 +121,29 @@ class CoVOSolver(BaseSolver):
             if collect_debug:
                 raise ValueError("pallas engine requires collect_debug=False")
             interpret = engine == "pallas_interpret"
+            # non-parity samplers skip the reference key-split chain
+            # on the disturbance draw (9 us/solve of serial threefry,
+            # scripts/kernel_ab.py; quality-gated in RESULTS.md)
+            fast_keys = rng_mode != sampling.PARITY
             if rng_mode == sampling.KERNEL:
                 # fused joint sample+rollout: the (H·dA)-dim MVN draw runs
                 # inside the kernel (TPU PRNG + in-kernel F z contraction)
                 self.rollout_sampling = make_pallas_rollout_joint_sampling(
-                    env, interpret=interpret
+                    env, interpret=interpret, fast_keys=fast_keys
                 )
             else:
                 self.rollout_sampling = None
-            self.rollout = make_pallas_rollout(env, interpret=interpret)
+            self.rollout = make_pallas_rollout(env, interpret=interpret,
+                                           fast_keys=fast_keys)
             # fast samplers emit actions directly in the kernel's
             # sample-axis-last layout — no 4 MB transpose on the hot path
             self.transposed = rng_mode != sampling.PARITY
         elif engine == "jnp":
             if rng_mode == sampling.KERNEL:
                 raise ValueError("rng_mode='kernel' requires the pallas engine")
-            self.rollout = make_rollout(env)
+            self.rollout = make_rollout(
+                env, fast_keys=rng_mode != sampling.PARITY
+            )
             self.rollout_sampling = None
             self.transposed = False
         else:

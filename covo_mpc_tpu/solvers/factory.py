@@ -113,6 +113,10 @@ def get_solver(
             sample_sigma=sigma,
             a_mean=a_mean,
             a_cov=a_cov,
+            # carried factor: the sampler skips its per-solve batched
+            # Cholesky whenever the gamma_sigma==0 cond leaves a_cov
+            # unchanged (reductions.cov_factor_update maintains it)
+            a_cov_chol=jnp.linalg.cholesky(a_cov),
         )
         solver = MPPISolver(
             env, params, N=N, H=H, lam=lam, rng_mode=rng_mode,

@@ -35,6 +35,10 @@ class MPPIParams:
 
     a_mean: jnp.ndarray  # (H, dA)
     a_cov: jnp.ndarray  # (H, dA, dA)
+    # carried chol(a_cov), maintained by ops/reductions.cov_factor_update_t
+    # so the sampler's per-solve batched Cholesky disappears whenever the
+    # gamma_sigma==0 cond leaves a_cov unchanged (None = derive per solve)
+    a_cov_chol: jnp.ndarray = None
 
 
 class MPPISolver(BaseSolver):
@@ -66,23 +70,30 @@ class MPPISolver(BaseSolver):
             if collect_debug:
                 raise ValueError("pallas engine requires collect_debug=False")
             interpret = engine == "pallas_interpret"
+            # non-parity samplers skip the reference key-split chain
+            # on the disturbance draw (9 us/solve of serial threefry,
+            # scripts/kernel_ab.py; quality-gated in RESULTS.md)
+            fast_keys = rng_mode != sampling.PARITY
             if rng_mode == sampling.KERNEL:
                 # fused sample+rollout: the MVN draw runs inside the kernel
                 self.rollout_sampling = make_pallas_rollout_sampling(
-                    env, interpret=interpret
+                    env, interpret=interpret, fast_keys=fast_keys
                 )
             else:
                 self.rollout_sampling = None
             # costs-only engine built unconditionally (like CoVOSolver)
             # so solver.rollout exists in every configuration
-            self.rollout = make_pallas_rollout(env, interpret=interpret)
+            self.rollout = make_pallas_rollout(env, interpret=interpret,
+                                           fast_keys=fast_keys)
             # fast samplers emit actions directly in the kernel's
             # sample-axis-last layout — no 4 MB transpose on the hot path
             self.transposed = rng_mode != sampling.PARITY
         elif engine == "jnp":
             if rng_mode == sampling.KERNEL:
                 raise ValueError("rng_mode='kernel' requires the pallas engine")
-            self.rollout = make_rollout(env)
+            self.rollout = make_rollout(
+                env, fast_keys=rng_mode != sampling.PARITY
+            )
             self.rollout_sampling = None
             self.transposed = False
         else:
@@ -99,7 +110,14 @@ class MPPISolver(BaseSolver):
             [control_params.a_mean[1:], control_params.a_mean[-1:]]
         )
         a_cov = jnp.concatenate([control_params.a_cov[1:], control_params.a_cov[-1:]])
-        control_params = control_params.replace(a_mean=a_mean, a_cov=a_cov)
+        a_chol = control_params.a_cov_chol
+        if a_chol is not None:
+            # chol factorizes each (dA, dA) block independently, so the
+            # row shift commutes with it — the carried factor stays exact
+            a_chol = jnp.concatenate([a_chol[1:], a_chol[-1:]])
+        control_params = control_params.replace(
+            a_mean=a_mean, a_cov=a_cov, a_cov_chol=a_chol
+        )
 
         # sample N action sequences (reference key chain: mppi.py:53-54)
         rng_act, act_key = jax.random.split(rng_act)
@@ -108,7 +126,8 @@ class MPPISolver(BaseSolver):
             if self.rollout_sampling is not None:
                 # fused sample+rollout: the draw happens in-kernel and the
                 # clipped samples come back as a kernel output (H*dA, N)
-                chol = jnp.linalg.cholesky(a_cov)
+                chol = (a_chol if a_chol is not None
+                        else jnp.linalg.cholesky(a_cov))
                 costs, a_flat = self.rollout_sampling(
                     pack_state(env_state), env_state.time,
                     env_state.pos_traj, env_state.vel_traj, a_mean, chol,
@@ -121,7 +140,8 @@ class MPPISolver(BaseSolver):
                 # actions stay (H, dA, N)
                 a_t = jnp.clip(
                     sampling.sample_per_step_t(
-                        act_key, a_mean, a_cov, self.N, mode=self.rng_mode
+                        act_key, a_mean, a_cov, self.N, mode=self.rng_mode,
+                        chol=a_chol,
                     ),
                     -1.0, 1.0,
                 )
@@ -135,11 +155,19 @@ class MPPISolver(BaseSolver):
             a_mean = reductions.mean_update_t(
                 weight, a_t, control_params.a_mean, control_params.gamma_mean
             )
-            a_cov = reductions.cov_update_t(
-                weight, a_t, a_mean, control_params.a_cov,
-                control_params.gamma_sigma,
+            if a_chol is not None:
+                a_cov, a_chol = reductions.cov_factor_update_t(
+                    weight, a_t, a_mean, control_params.a_cov, a_chol,
+                    control_params.gamma_sigma,
+                )
+            else:
+                a_cov = reductions.cov_update_t(
+                    weight, a_t, a_mean, control_params.a_cov,
+                    control_params.gamma_sigma,
+                )
+            control_params = control_params.replace(
+                a_mean=a_mean, a_cov=a_cov, a_cov_chol=a_chol
             )
-            control_params = control_params.replace(a_mean=a_mean, a_cov=a_cov)
             info = {}
             if self.collect_metrics:
                 from covo_mpc_tpu.runtime.metrics import solve_metrics
@@ -148,7 +176,7 @@ class MPPISolver(BaseSolver):
             return control_params.a_mean[0], control_params, info
 
         a_sampled = sampling.sample_per_step(
-            act_key, a_mean, a_cov, self.N, mode=self.rng_mode
+            act_key, a_mean, a_cov, self.N, mode=self.rng_mode, chol=a_chol
         )
         a_sampled = jnp.clip(a_sampled, -1.0, 1.0)
 
@@ -170,10 +198,19 @@ class MPPISolver(BaseSolver):
         a_mean = reductions.mean_update(
             weight, a_sampled, control_params.a_mean, control_params.gamma_mean
         )
-        a_cov = reductions.cov_update(
-            weight, a_sampled, a_mean, control_params.a_cov, control_params.gamma_sigma
+        if a_chol is not None:
+            a_cov, a_chol = reductions.cov_factor_update(
+                weight, a_sampled, a_mean, control_params.a_cov, a_chol,
+                control_params.gamma_sigma,
+            )
+        else:
+            a_cov = reductions.cov_update(
+                weight, a_sampled, a_mean, control_params.a_cov,
+                control_params.gamma_sigma,
+            )
+        control_params = control_params.replace(
+            a_mean=a_mean, a_cov=a_cov, a_cov_chol=a_chol
         )
-        control_params = control_params.replace(a_mean=a_mean, a_cov=a_cov)
 
         if self.collect_debug:
             info = {"pos_mean": jnp.mean(poses, axis=1), "pos_std": jnp.std(poses, axis=1)}

@@ -157,3 +157,50 @@ class TestStandalone:
         rand_runner = make_episode_runner(env, rand_solver, steps=60)
         _, err_rand, _, _ = rand_runner(jax.random.PRNGKey(0), jax.random.PRNGKey(1))
         assert float(err_pos.mean()) < float(err_rand.mean())
+
+
+class TestCarriedFactor:
+    """The carried chol(a_cov) (MPPIParams.a_cov_chol) removes the
+    sampler's per-solve batched Cholesky — 13.2 us of the 75 us
+    kernel-rng solve measured by device trace (results/roofline_mppi.json).
+    These pins guarantee it can never desync from a_cov."""
+
+    def _setup(self, gamma_sigma):
+        env = make_env()
+        solver, cp = get_solver(env, "mppi", f"N{N}_H{H}_lam{LAM}",
+                                rng_mode=sampling.FAST)
+        cp = cp.replace(gamma_sigma=gamma_sigma)
+        params = env.default_params
+        obs, info, state = env.reset_env(jax.random.PRNGKey(0), params)
+        return env, solver, cp, params, obs, info, state
+
+    @pytest.mark.parametrize("gamma_sigma", [0.0, 0.3])
+    def test_factor_tracks_cov(self, gamma_sigma):
+        """After several solves the carried factor IS chol(a_cov) — for
+        the identity blend (gamma=0) and the live blend (gamma>0)."""
+        env, solver, cp, params, obs, info, state = self._setup(gamma_sigma)
+        key = jax.random.PRNGKey(3)
+        for i in range(3):
+            key, k = jax.random.split(key)
+            _, cp, _ = solver(obs, state, params, k, cp, info)
+        np.testing.assert_allclose(
+            np.asarray(cp.a_cov_chol),
+            np.asarray(jnp.linalg.cholesky(cp.a_cov)),
+            atol=1e-6,
+        )
+
+    @pytest.mark.parametrize("gamma_sigma", [0.0, 0.3])
+    def test_matches_per_solve_cholesky(self, gamma_sigma):
+        """Dropping the carried factor (a_cov_chol=None re-derives chol
+        per solve) gives the same actions/means — the carry is a pure
+        scheduling change, not a semantic one."""
+        env, solver, cp, params, obs, info, state = self._setup(gamma_sigma)
+        cp_nochol = cp.replace(a_cov_chol=None)
+        key = jax.random.PRNGKey(5)
+        a1, cp1, _ = solver(obs, state, params, key, cp, info)
+        a2, cp2, _ = solver(obs, state, params, key, cp_nochol, info)
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(cp1.a_mean),
+                                   np.asarray(cp2.a_mean), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(cp1.a_cov),
+                                   np.asarray(cp2.a_cov), atol=1e-6)
