@@ -236,6 +236,41 @@ def hlo_summary(hlos, top: int = 20):
     return rows
 
 
+def per_solve_distribution(hlos, n_solves: int, marker: str = "auto"):
+    """True per-solve latency percentiles from device timestamps.
+
+    Segments the chained dispatch at a once-per-solve marker HLO — by
+    default the largest custom-call that fired exactly ``n_solves`` times
+    (the flagship pallas kernel) — and returns the duration distribution
+    dict (seconds). This is the honest per-solve tail: percentiles of
+    host-timed chained dispatches are percentiles of CHAIN MEANS, which
+    dilute a single slow solve by the chain length (round-4 verdict)."""
+    if marker == "auto":
+        best = None
+        agg = {}
+        for r in hlos:
+            if r["category"] == "custom-call":
+                a = agg.setdefault(r["name"], [0.0, 0])
+                a[0] += r["dur_us"]
+                a[1] += 1
+        for name, (tot, cnt) in agg.items():
+            if cnt == n_solves and (best is None or tot > best[1]):
+                best = (name, tot)
+        if best is None:
+            raise ValueError("no once-per-solve custom-call marker found")
+        marker = best[0]
+    deltas = step_durations(hlos, marker)
+    pct = lambda q: float(np.percentile(deltas, q))
+    return {
+        "marker": marker,
+        "p50": pct(50),
+        "p90": pct(90),
+        "p99": pct(99),
+        "max": float(deltas.max()),
+        "n": int(len(deltas)),
+    }
+
+
 def step_durations(hlos, marker: str):
     """Per-iteration durations from a once-per-iteration marker HLO.
 
@@ -246,8 +281,10 @@ def step_durations(hlos, marker: str):
     clock or tunnel RTT involved. Returns seconds, shape (K-1,) per
     dispatch, concatenated over dispatches (gaps > 10x the median split
     dispatches)."""
+    exact = any(r["name"] == marker for r in hlos)
+    match = (lambda n: n == marker) if exact else (lambda n: marker in n)
     starts = np.array(
-        [r["ts_us"] for r in hlos if marker in r["name"]], np.float64
+        [r["ts_us"] for r in hlos if match(r["name"])], np.float64
     )
     if len(starts) < 3:
         raise ValueError(

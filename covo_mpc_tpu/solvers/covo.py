@@ -160,10 +160,16 @@ class CoVOSolver(BaseSolver):
             # Offline mode instead vmaps the Hessian over the whole episode
             # schedule (reset, covo.py:92-99): the 300-wide batch amortizes
             # the scan's launches AND pallas_call does not vmap over its
-            # SMEM operands — keep the scan primal there.
+            # SMEM operands — keep the scan primal there. Speculative mode's
+            # prepare() is a single non-vmapped Hessian call exactly like
+            # online, so it takes the kernel primal too (it was lumped in
+            # with offline through r4 — the scan primal put ~0.27 ms of
+            # batch-of-one small fusions on the full step: 0.40 -> 0.13 ms
+            # trace-measured when fixed).
             primal = (
                 engine
-                if engine.startswith("pallas") and mode == "online"
+                if engine.startswith("pallas")
+                and mode in ("online", "speculative")
                 else "scan"
             )
             # the fused tail also replaces the default-precision XLA

@@ -20,7 +20,15 @@ same harness as scripts/designer_ab.py:
               measures ~0 by construction — it stays only as a regression
               tripwire (a nonzero delta means the cond stopped firing).
   no_chol     the per-solve (H,4,4) batched Cholesky replaced by a
-              constant factor — timing only
+              constant factor — timing only. HISTORICAL since r5: the
+              shipped solve carries the factor (MPPIParams.a_cov_chol,
+              refreshed only inside the gamma_sigma>0 blend branch), so
+              no per-solve Cholesky runs at the paper config and this
+              variant measures ~0 — a regression tripwire like no_cov
+              (a nonzero delta means the carried factor stopped
+              covering the hot path). The 13.2 us ceiling it measured
+              against the r4 code is what motivated the carry
+              (device-trace verified 75 -> 62 us, scripts/kernel_ab.py).
 
 Run on the TPU: python -u scripts/mppi_ab.py [--k 32]
 """

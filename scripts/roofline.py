@@ -115,6 +115,7 @@ def main():
     from covo_mpc_tpu.runtime.profiling import (
         hlo_summary,
         load_device_trace,
+        per_solve_distribution,
         step_durations,
     )
 
@@ -155,22 +156,18 @@ def main():
         # flagship kernel launch: the LARGEST custom-call that fires
         # exactly once per solve (substring markers over-match when a
         # solve launches several pallas kernels)
-        marker = args.marker
-        if marker == "auto":
-            marker = next(
-                (r["name"] for r in rows
-                 if r["category"] == "custom-call"
-                 and r["count"] == n_solves),
-                None,
-            )
         try:
-            if marker is None:
-                raise ValueError("no once-per-solve custom-call found")
-            deltas = step_durations(hlos, marker)
-            pct = lambda q: float(np.percentile(deltas, q)) * 1e3
-            dist = {"marker": marker, "p50_ms": pct(50), "p90_ms": pct(90),
-                    "p99_ms": pct(99), "max_ms": float(deltas.max()) * 1e3,
-                    "n": int(len(deltas))}
+            if args.marker == "auto":
+                d = per_solve_distribution(hlos, n_solves)
+            else:
+                deltas = step_durations(hlos, args.marker)
+                pct = lambda q: float(np.percentile(deltas, q))
+                d = {"marker": args.marker, "p50": pct(50), "p90": pct(90),
+                     "p99": pct(99), "max": float(deltas.max()),
+                     "n": int(len(deltas))}
+            dist = {"marker": d["marker"], "n": d["n"],
+                    **{f"{k}_ms": d[k] * 1e3
+                       for k in ("p50", "p90", "p99", "max")}}
         except ValueError as e:
             dist = {"error": str(e)}
 
