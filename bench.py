@@ -35,6 +35,38 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def trace_wall(make_run, init, chain: int, iters: int = 4):
+    """Per-iteration device seconds from a jax.profiler trace.
+
+    ``make_run(chain)`` must return a jitted fn ``run(init, key)`` whose
+    body is one ``lax.scan`` chaining ``chain`` iterations; the largest
+    total-time while-op in the trace is that chain scan (inner scans
+    nest inside it, so it dominates by construction) and its mean
+    duration / chain is the per-iteration wall — device timestamps,
+    cycle-exact, immune to the ~25 ms tunnel RTT of this box."""
+    import shutil
+
+    from covo_mpc_tpu.runtime.profiling import load_device_trace
+
+    run = make_run(chain)
+    float(run(init, jax.random.PRNGKey(1)))  # compile + warm
+    tdir = "/tmp/bench_trace_wall"
+    if os.path.isdir(tdir):
+        shutil.rmtree(tdir)
+    with jax.profiler.trace(tdir):
+        for i in range(iters):
+            float(run(init, jax.random.fold_in(jax.random.PRNGKey(2), i)))
+    hlos, _ = load_device_trace(tdir)
+    whiles = {}
+    for r in hlos:
+        if r["name"].startswith("while"):
+            a = whiles.setdefault(r["name"], [0.0, 0])
+            a[0] += r["dur_us"]
+            a[1] += 1
+    tot, cnt = max(whiles.values(), key=lambda a: a[0])
+    return (tot / cnt) / chain * 1e-6
+
+
 def measure_solve_rate(solver, obs, state, params, info, control_params,
                        k: int = 32, reps: int = 5, method: str = "trace"):
     """Amortized per-solve seconds.
@@ -75,32 +107,8 @@ def measure_solve_rate(solver, obs, state, params, info, control_params,
         return run
 
     if method == "trace":
-        import shutil
-
-        from covo_mpc_tpu.runtime.profiling import load_device_trace
-
-        chain = 8 * k
-        run = make_run(chain)
-        float(run(control_params, jax.random.PRNGKey(1)))  # compile+warm
-        tdir = "/tmp/bench_trace_wall"
         try:
-            if os.path.isdir(tdir):
-                shutil.rmtree(tdir)
-            with jax.profiler.trace(tdir):
-                for i in range(4):
-                    float(run(control_params,
-                              jax.random.fold_in(jax.random.PRNGKey(2), i)))
-            hlos, _ = load_device_trace(tdir)
-            whiles = {}
-            for r in hlos:
-                if r["name"].startswith("while"):
-                    a = whiles.setdefault(r["name"], [0.0, 0])
-                    a[0] += r["dur_us"]
-                    a[1] += 1
-            # the chain scan is the largest-total while; inner scans nest
-            # inside it, so it dominates by construction
-            tot, cnt = max(whiles.values(), key=lambda a: a[0])
-            return (tot / cnt) / chain * 1e-6, 0.0
+            return trace_wall(make_run, control_params, 8 * k), 0.0
         except Exception as e:  # noqa: BLE001 — profiler optional
             print(f"[bench] trace measurement unavailable ({e}); "
                   "falling back to slope", file=sys.stderr)
@@ -147,9 +155,14 @@ def bench_scenarios(env, args, k: int = 8):
     a_means0 = jnp.tile(hover_sequence(env, args.h)[None], (B, 1, 1))
     a_covs0 = jnp.tile(jnp.eye(4)[None, None] * 0.25, (B, args.h, 1, 1))
 
-    def slope(make_run, init):
-        # two-point fit: dispatch overhead cancels in the slope (see
-        # measure_solve_rate)
+    def wall(make_run, init):
+        # device-trace wall (see trace_wall); slope fallback mirrors
+        # measure_solve_rate's
+        try:
+            return trace_wall(make_run, init, 8 * k)
+        except Exception as e:  # noqa: BLE001 — profiler optional
+            print(f"[bench] trace measurement unavailable ({e}); "
+                  "falling back to slope", file=sys.stderr)
         k2 = 5 * k
         run1, run2 = make_run(k), make_run(k2)
         float(run1(init, jax.random.PRNGKey(1)))
@@ -191,7 +204,7 @@ def bench_scenarios(env, args, k: int = 8):
 
         return run
 
-    per_batch = slope(make_covo_run, a_means0)
+    per_batch = wall(make_covo_run, a_means0)
     agg = B / per_batch
     print(
         f"[bench] covo_online scenario-batched B={B} rng={rng} "
@@ -222,7 +235,7 @@ def bench_scenarios(env, args, k: int = 8):
 
         return run
 
-    per_batch_m = slope(make_mppi_run, a_means0)
+    per_batch_m = wall(make_mppi_run, a_means0)
     agg_m = B / per_batch_m
     print(
         f"[bench] mppi        scenario-batched B={B} rng={rng} "

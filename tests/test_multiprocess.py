@@ -37,6 +37,20 @@ from covo_mpc_tpu.parallel.sharded import make_distributed_covo_solve
 WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)), "mp_worker.py")
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _fresh_caches():
+    """Work around the deterministic XLA:CPU jit-cache segfault (same
+    class as tests/test_pallas_rollout.py::_fresh_caches, see CLAUDE.md):
+    the r5 full tier segfaulted inside an XLA:CPU compile at
+    test_multiprocess_distributed_matches_single_process's
+    single-process reference (jax.random.normal under vmap) with the
+    cache state accumulated by the preceding ~27% of the suite; the
+    same program compiles fine from a fresh cache. Clearing costs one
+    re-trace (persistent .jax_cache keeps XLA compiles warm)."""
+    jax.clear_caches()
+    yield
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
