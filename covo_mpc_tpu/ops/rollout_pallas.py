@@ -100,6 +100,25 @@ def _normals4(shape):
     return out
 
 
+def _normals3_scalar():
+    """Three i.i.d. standard-normal SCALARS from the TPU hardware PRNG.
+
+    For the shared gaussian disturbance draw ("krng" disturb mode): one
+    (SUB, 128) Box–Muller tile, three elements picked out by masked
+    full-tile reductions (Mosaic has no direct vector→scalar extract).
+    Every grid block seeds the same dedicated stream first, so all
+    blocks reconstruct the SAME three values — the reference's one
+    shared draw per solve (mppi.py:69-74)."""
+    shape = (SUB, 128)
+    r = jnp.sqrt(-2.0 * jnp.log(1.0 - _uniform01(shape)))
+    th = jnp.float32(6.283185307179586) * _uniform01(shape)
+    n = r * jnp.cos(th)
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    pick = lambda j: jnp.sum(jnp.where((row == 0) & (col == j), n, 0.0))
+    return pick(0), pick(1), pick(2)
+
+
 def _normals_joint(d, shape2):
     """(d, *shape2) i.i.d. standard normals for the joint MVN draw: one
     Box–Muller pair per element, cos half and sin half stacked along the
@@ -150,7 +169,8 @@ def build_disturb_table(env: QuadEnv, x0, t0, params, step_key, deterministic,
 
 
 def build_kernel_disturb(env: QuadEnv, x0, t0, params, step_key,
-                         deterministic, H, fast_keys: bool = False):
+                         deterministic, H, fast_keys: bool = False,
+                         kernel_draw: bool = False):
     """Disturbance inputs for the fused kernel: ``(table (H,3), draw (3,))``.
 
     For state-independent models the table holds the f_disturb in effect
@@ -184,6 +204,17 @@ def build_kernel_disturb(env: QuadEnv, x0, t0, params, step_key,
             # static deterministic: gaussian/none scale the draw by
             # dyn_noise_scale*(1-1)=0 — skip the key chain + draw outright
             return jnp.zeros((H, 3), jnp.float32), jnp.zeros(3, jnp.float32)
+        if kernel_draw:
+            # "krng" disturb mode: the kernel draws the shared normals
+            # itself from its second seed stream — no XLA-side key chain
+            # or threefry at all; _DRAW0 carries only the effective scale
+            # (a params constant when `deterministic` is static, leaving
+            # the whole scal operand static and hoistable)
+            eff = (params.dyn_noise_scale
+                   if dtype == "gaussian" else jnp.float32(0.0))
+            draw = jnp.stack([jnp.asarray(eff, jnp.float32),
+                              jnp.float32(0.0), jnp.float32(0.0)])
+            return jnp.zeros((H, 3), jnp.float32), draw
         disturb_key = dynamics.derive_dynamics_keys(step_key, fast=fast_keys)
         d = env.disturb_fn(disturb_key, params, t0, None, jnp.zeros(3))
         return jnp.zeros((H, 3), jnp.float32), d
@@ -207,7 +238,8 @@ def build_kernel_disturb(env: QuadEnv, x0, t0, params, step_key,
 
 
 def _pack_kernel_inputs(env, x0, t0, pos_traj, vel_traj, params, step_key,
-                        deterministic, discount, H, fast_keys: bool = False):
+                        deterministic, discount, H, fast_keys: bool = False,
+                        kernel_draw: bool = False):
     """Flattened SMEM operands shared by both rollout kernels:
     (ptar, vtar, disturbance table, scal (NSCAL,), ints (NINT,))."""
     T = pos_traj.shape[0]
@@ -215,7 +247,8 @@ def _pack_kernel_inputs(env, x0, t0, pos_traj, vel_traj, params, step_key,
     ptar = pos_traj[idx].reshape(-1)
     vtar = vel_traj[idx].reshape(-1)
     table, draw = build_kernel_disturb(
-        env, x0, t0, params, step_key, deterministic, H, fast_keys
+        env, x0, t0, params, step_key, deterministic, H, fast_keys,
+        kernel_draw=kernel_draw,
     )
     dp = params.disturb_params
     # the 14 static lanes get their OWN stack: params/discount are loop
@@ -307,6 +340,15 @@ def _rollout_kernel(
         m_off = b * (4 * H) if batched else 0
         c_off = b * (16 * H) if batched else 0
         if sample in ("prng", "prng_joint"):
+            if disturb_mode == "krng":
+                # shared gaussian disturbance drawn IN-KERNEL: seed a
+                # dedicated stream (same value in every block -> same
+                # draw everywhere), pull 3 normals, then fall through to
+                # the per-block sample seeding below. Removes the last
+                # XLA-side per-solve threefry chain (~6 us of serial
+                # small ops) and leaves the scal operand fully static.
+                pltpu.prng_seed(gen_ref[1])
+                _dn0, _dn1, _dn2 = _normals3_scalar()
             # per-(scenario, block) stream: same seed + grid index ->
             # disjoint streams. The TPU PRNG accepts at most TWO seed
             # values (Mosaic: "Setting seed with more than 2 values is
@@ -359,6 +401,13 @@ def _rollout_kernel(
         draw = (
             scal_ref[so + _DRAW0], scal_ref[so + _DRAW1], scal_ref[so + _DRAW2]
         )
+    elif disturb_mode == "krng":
+        # same semantics as "shared" but the draw came from the in-kernel
+        # stream above; _DRAW0 carries the effective noise scale
+        # (dyn_noise_scale * (1 - deterministic); 0 for disturb "none")
+        f0 = (x0_ref[xo + 13], x0_ref[xo + 14], x0_ref[xo + 15])
+        eff = scal_ref[so + _DRAW0]
+        draw = (eff * _dn0, eff * _dn1, eff * _dn2)
 
     cost = jnp.zeros(shape, dtype=jnp.float32)
     r_prev = jnp.zeros(shape, dtype=jnp.float32)
@@ -389,7 +438,7 @@ def _rollout_kernel(
             fdx = dist_ref[to + 3 * h]
             fdy = dist_ref[to + 3 * h + 1]
             fdz = dist_ref[to + 3 * h + 2]
-        elif disturb_mode == "shared":
+        elif disturb_mode in ("shared", "krng"):
             fdx, fdy, fdz = f0 if h == 0 else draw  # h static: free select
 
         # ---- reward on the PRE-step state (reference: quadrotor.py:243);
@@ -638,13 +687,21 @@ def make_pallas_rollout_sampling(env: QuadEnv, interpret: bool = False,
     """
     reward_name = env.reward_name
     check_rollover = not env.config.disable_rollover_terminate
+    gen = "input_z" if (interpret or jax.default_backend() != "tpu") else "prng"
+    # hardware path + gaussian/none: the shared disturbance draw moves
+    # IN-KERNEL ("krng" mode) — a distinct stream from the jnp/interpret
+    # engines (like the kernel action draw itself), quality-gated in
+    # RESULTS.md. Off-TPU keeps the XLA-side draw ("shared").
+    kernel_draw = (
+        gen == "prng" and env.config.disturb_type in ("gaussian", "none")
+    )
     disturb_mode = (
         env.config.disturb_type
         if env.config.disturb_type in ("drag", "mixed")
-        else ("shared" if env.config.disturb_type in ("gaussian", "none")
-              else "table")
+        else ("krng" if kernel_draw
+              else ("shared" if env.config.disturb_type in ("gaussian", "none")
+                    else "table"))
     )
-    gen = "input_z" if (interpret or jax.default_backend() != "tpu") else "prng"
 
     def rollout_sample(
         x0, t0, pos_traj, vel_traj, a_mean, chol, params, step_key, act_key,
@@ -662,12 +719,17 @@ def make_pallas_rollout_sampling(env: QuadEnv, interpret: bool = False,
         ptar, vtar, dist, scal, ints = _pack_kernel_inputs(
             env, x0, t0, pos_traj, vel_traj, params, step_key,
             deterministic, discount, H, fast_keys,
+            kernel_draw=kernel_draw,
         )
         if gen == "prng":
-            # any 32 bits of the key: the kernel PRNG needs one i32 seed
-            gen_arg = jax.lax.bitcast_convert_type(
-                jax.random.key_data(act_key).reshape(-1)[-1:], jnp.int32
+            # any 32 bits of each key: the kernel PRNG needs i32 seeds —
+            # [0] the per-block sample stream, [1] (krng disturb mode)
+            # the shared disturbance stream
+            word = lambda key: jax.lax.bitcast_convert_type(
+                jax.random.key_data(key).reshape(-1)[-1:], jnp.int32
             )
+            gen_arg = (jnp.concatenate([word(act_key), word(step_key)])
+                       if disturb_mode == "krng" else word(act_key))
             gen_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         else:
             gen_arg = jax.random.normal(

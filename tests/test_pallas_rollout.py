@@ -120,6 +120,33 @@ def test_disturb_table_matches_rollout_semantics():
     np.testing.assert_allclose(table[0], x0[13:16], atol=1e-7)
 
 
+def test_kernel_draw_packing():
+    """kernel_draw=True ("krng" disturb mode, TPU hardware path): no
+    XLA-side draw — the _DRAW0 scal lane carries only the effective
+    noise scale (dyn_noise_scale for gaussian, 0 for none / deterministic)
+    and the table is zeros. The draw itself comes from the kernel's
+    second PRNG stream; its semantics (shared across samples AND steps,
+    d ~ eff*N(0,1)) are quality-gated on hardware (RESULTS.md speed-mode
+    gates: mppi kernel-rng 6.63 cm under the in-kernel draw)."""
+    from covo_mpc_tpu.ops.rollout_pallas import build_kernel_disturb
+
+    for dtype, want_eff in (("gaussian", None), ("none", 0.0)):
+        env = make_env(disturb_type=dtype)
+        params, state, x0, _ = _setup(env)
+        key = jax.random.PRNGKey(3)
+        table, draw = build_kernel_disturb(
+            env, x0, state.time, params, key, False, H, kernel_draw=True
+        )
+        np.testing.assert_array_equal(np.asarray(table), 0.0)
+        eff = float(params.dyn_noise_scale) if want_eff is None else want_eff
+        np.testing.assert_allclose(np.asarray(draw), [eff, 0.0, 0.0])
+        # deterministic=True static: scale must be exactly zero
+        _, draw_det = build_kernel_disturb(
+            env, x0, state.time, params, key, True, H, kernel_draw=True
+        )
+        np.testing.assert_array_equal(np.asarray(draw_det), 0.0)
+
+
 @pytest.mark.parametrize("disturb", ["drag", "mixed"])
 def test_velocity_dependent_disturbances_in_kernel(disturb):
     """"drag"/"mixed" depend on per-sample velocity and run IN-KERNEL on
