@@ -450,8 +450,12 @@ def make_distributed_covo_solve(env, mesh, N: int, H: int, lam: float,
         raise ValueError(f"distributed covo supports 'adjoint'/'gn', "
                          f"got {hessian_mode!r}")
     # "gn" = Gauss-Newton curvature (quality-gated: RESULTS.md speed-mode
-    # rows — 3.57 cm gn+krng vs the 6.77 cm MPPI anchor)
-    hess = make_hessian_adjoint(env, H, primal=primal,
+    # rows — 3.53 cm gn+krng vs the 6.81 cm MPPI anchor); fused tail
+    # pairs with the kernel primal exactly like CoVOSolver (it also
+    # replaces the bf16-truncated XLA pullback matmuls with
+    # HIGHEST-precision in-kernel dots)
+    tail = primal if primal != "scan" else "xla"
+    hess = make_hessian_adjoint(env, H, primal=primal, tail=tail,
                                 second_order=hessian_mode == "adjoint")
     D = H * env.action_dim
 

@@ -8,6 +8,7 @@ optional `jax.profiler` traces viewable in Perfetto/TensorBoard.
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from typing import Callable, Optional
 
@@ -131,6 +132,41 @@ def time_slope(make_run, k: int = 32, reps: int = 5):
     per = (min(t2s) - min(t1s)) / (k2 - k)
     overhead = min(t1s) - k * per
     return per, overhead
+
+
+def time_trace(make_run, chain: int = 256, iters: int = 4,
+               trace_dir: str = "/tmp/covo_time_trace"):
+    """Per-iteration device seconds from a jax.profiler trace.
+
+    Same ``make_run(length) -> run(i)`` contract as :func:`time_slope`,
+    but the wall comes from DEVICE timestamps: the largest total-time
+    while-op in the trace is the chain scan (inner scans nest inside
+    it), and its mean duration / chain is the per-iteration wall —
+    cycle-exact and immune to the ~25 ms tunnel RTT, where the slope's
+    ±2 ms host wobble is ±15-25% of a short chain (it produced two
+    phantom readings below the kernel floor; see bench.py). Raises if
+    the profiler/trace is unavailable — callers fall back to
+    :func:`time_slope`."""
+    import shutil
+
+    run = make_run(chain)
+    float(run(0))  # compile + warm
+    if os.path.isdir(trace_dir):
+        shutil.rmtree(trace_dir)
+    with jax.profiler.trace(trace_dir):
+        for i in range(iters):
+            float(run(i + 1))
+    hlos, _ = load_device_trace(trace_dir)
+    whiles = {}
+    for r in hlos:
+        if r["name"].startswith("while"):
+            a = whiles.setdefault(r["name"], [0.0, 0])
+            a[0] += r["dur_us"]
+            a[1] += 1
+    if not whiles:
+        raise ValueError("no while-op in device trace")
+    tot, cnt = max(whiles.values(), key=lambda a: a[0])
+    return (tot / cnt) / chain * 1e-6
 
 
 @contextlib.contextmanager

@@ -19,9 +19,10 @@ Two scaling axes are measured (SURVEY.md §2 parallelism table):
     batched CoVO step each (zero per-solve communication). Weak scaling:
     aggregate solves/s. Reported with efficiency vs the 1-chip aggregate.
 
-Measurement: K and 5K solves chained per dispatch, two-point slope
-(covo_mpc_tpu.runtime.profiling.time_slope) — dispatch overhead cancels
-exactly; never time single dispatches through the ~24 ms TPU tunnel.
+Measurement: solves chained per dispatch, per-solve wall from a
+jax.profiler DEVICE trace (runtime/profiling.time_trace — cycle-exact,
+tunnel-immune; r5), two-point slope as fallback; never time single
+dispatches through the ~24 ms TPU tunnel.
 
 On the CPU backend (8 virtual devices) the numbers are PLUMBING-ONLY —
 they validate the harness and the collective layout, not TPU performance.
@@ -67,6 +68,10 @@ def parse_args():
                          "global-id draws; kernel = in-kernel TPU-PRNG "
                          "draw per shard (pallas engine only — fastest, "
                          "not resharding-invariant)")
+    ap.add_argument("--hessian", default="adjoint",
+                    choices=["adjoint", "gn"],
+                    help="CoVO Hessian for the sample-sharded solve (gn = "
+                         "the quality-gated headline curvature)")
     ap.add_argument("--offline", action="store_true",
                     help="also bench the CoVO-offline Σ-schedule precompute "
                          "sharded over the mesh (parallel/offline.py)")
@@ -121,6 +126,23 @@ def make_env():
     )
 
 
+def measure(make_run, k: int):
+    """Device-trace wall (r5 default), slope fallback.
+
+    The slope's ±2 ms host wobble is ±15-25% of a short chain on this
+    box's tunneled TPU (two phantom sub-kernel-floor readings on
+    record); the trace wall is cycle-exact. On CPU (plumbing-only runs)
+    the trace may lack device lanes — fall back to the slope."""
+    from covo_mpc_tpu.runtime.profiling import time_slope, time_trace
+
+    try:
+        return time_trace(make_run, chain=8 * k), 0.0
+    except Exception as e:  # noqa: BLE001 — profiler optional
+        print(f"[bench-mesh] trace wall unavailable ({e}); using slope",
+              file=sys.stderr)
+        return time_slope(make_run, k=k)
+
+
 def bench_sample_sharding(env, args, shard_counts):
     """Strong scaling: one CoVO-online solve, N sharded across chips."""
     from covo_mpc_tpu.models.structs import pack_state
@@ -142,6 +164,7 @@ def bench_sample_sharding(env, args, shard_counts):
         solve = make_distributed_covo_solve(
             env, mesh, N=args.n, H=args.h, lam=args.lam,
             engine=engine, interpret=interpret, rng=rng_mode,
+            hessian_mode=args.hessian,
         )
 
         def make_run(length):
@@ -163,7 +186,7 @@ def bench_sample_sharding(env, args, shard_counts):
 
             return run
 
-        per_solve, overhead = time_slope(make_run, k=args.k)
+        per_solve, overhead = measure(make_run, k=args.k)
         rows.append({
             "axis": "samples",
             "shards": s,
@@ -233,7 +256,7 @@ def bench_scenario_dp(env, args, n_chips, B):
 
             return run
 
-        per_step, overhead = time_slope(make_run, k=max(args.k // 4, 2))
+        per_step, overhead = measure(make_run, k=max(args.k // 4, 2))
         agg = b / per_step
         rows.append({
             "axis": "scenarios",
@@ -369,7 +392,7 @@ def bench_pipeline(env, args):
 
         return run
 
-    per_step, overhead = time_slope(make_run, k=args.k)
+    per_step, overhead = measure(make_run, k=args.k)
     row = {
         "axis": "pipe",
         "chips": 2,
