@@ -39,32 +39,19 @@ def trace_wall(make_run, init, chain: int, iters: int = 4):
     """Per-iteration device seconds from a jax.profiler trace.
 
     ``make_run(chain)`` must return a jitted fn ``run(init, key)`` whose
-    body is one ``lax.scan`` chaining ``chain`` iterations; the largest
-    total-time while-op in the trace is that chain scan (inner scans
-    nest inside it, so it dominates by construction) and its mean
-    duration / chain is the per-iteration wall — device timestamps,
-    cycle-exact, immune to the ~25 ms tunnel RTT of this box."""
-    import shutil
+    body is one ``lax.scan`` chaining ``chain`` iterations. Thin adapter
+    over :func:`covo_mpc_tpu.runtime.profiling.time_trace` (the single
+    implementation of the largest-while trace wall) for run fns that
+    take ``(init, key)`` instead of a rep index."""
+    from covo_mpc_tpu.runtime.profiling import time_trace
 
-    from covo_mpc_tpu.runtime.profiling import load_device_trace
+    def adapt(length):
+        run = make_run(length)
+        return lambda i: run(
+            init, jax.random.fold_in(jax.random.PRNGKey(2), i)
+        )
 
-    run = make_run(chain)
-    float(run(init, jax.random.PRNGKey(1)))  # compile + warm
-    tdir = "/tmp/bench_trace_wall"
-    if os.path.isdir(tdir):
-        shutil.rmtree(tdir)
-    with jax.profiler.trace(tdir):
-        for i in range(iters):
-            float(run(init, jax.random.fold_in(jax.random.PRNGKey(2), i)))
-    hlos, _ = load_device_trace(tdir)
-    whiles = {}
-    for r in hlos:
-        if r["name"].startswith("while"):
-            a = whiles.setdefault(r["name"], [0.0, 0])
-            a[0] += r["dur_us"]
-            a[1] += 1
-    tot, cnt = max(whiles.values(), key=lambda a: a[0])
-    return (tot / cnt) / chain * 1e-6
+    return time_trace(adapt, chain=chain, iters=iters)
 
 
 def measure_solve_rate(solver, obs, state, params, info, control_params,
@@ -349,7 +336,9 @@ def bench_latency(env, args, iters: int = 60, chain: int = 256):
         float(run(cp, jax.random.PRNGKey(1)))  # compile + warm
         # honest per-solve tail: device trace, kernel-marker segmented
         trace_iters = 8
-        tdir = f"/tmp/bench_latency_trace_{tag}"
+        # per-process dir: concurrent benches must not clobber each
+        # other's in-progress traces (review finding)
+        tdir = f"/tmp/bench_latency_trace_{tag}_{os.getpid()}"
         per_solve = None
         try:
             import shutil

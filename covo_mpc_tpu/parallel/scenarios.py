@@ -40,7 +40,9 @@ def _make_batched_cost_engine(env, engine: str, interpret: bool = False):
     -> costs (B, n_local)``; all inputs batched over scenarios on axis 0.
     """
     if engine == "jnp":
-        rollout = make_rollout(env)
+        # non-parity modes only -> fast disturbance key chain (see
+        # parallel/sharded.make_cost_engine)
+        rollout = make_rollout(env, fast_keys=True)
 
         def costs_fn(x0s, t0s, pos_trajs, vel_trajs, actions, params_b,
                      step_keys, deterministic, discount, layout="bnhd"):
@@ -63,7 +65,8 @@ def _make_batched_cost_engine(env, engine: str, interpret: bool = False):
         from covo_mpc_tpu.ops.rollout_pallas import make_pallas_rollout_batched
 
         # ragged per-shard sample counts are tile-padded by the kernel
-        rollout_b = make_pallas_rollout_batched(env, interpret=interpret)
+        rollout_b = make_pallas_rollout_batched(env, interpret=interpret,
+                                                fast_keys=True)
 
         def costs_fn(x0s, t0s, pos_trajs, vel_trajs, actions, params_b,
                      step_keys, deterministic, discount, layout="bnhd"):
@@ -118,8 +121,9 @@ def make_multichip_control_step(env, mesh, N: int, H: int, lam: float,
             make_pallas_rollout_batched_sampling,
         )
 
-        fused = make_pallas_rollout_batched_sampling(env, interpret=interpret,
-                                                     joint=False)
+        fused = make_pallas_rollout_batched_sampling(
+            env, interpret=interpret, joint=False, fast_keys=True
+        )
     else:
         fused = None
     costs_engine = _make_batched_cost_engine(env, engine, interpret)
@@ -273,10 +277,12 @@ def make_batched_covo_solve(env, N: int, H: int, lam: float,
     # rows)
     hess = make_hessian_adjoint(env, H, primal="scan",
                                 second_order=hessian_mode == "adjoint")
-    rollout_b = make_pallas_rollout_batched(env, interpret=interpret)
+    rollout_b = make_pallas_rollout_batched(env, interpret=interpret,
+                                            fast_keys=True)
     sampler_b = (
         make_pallas_rollout_batched_sampling(env, interpret=interpret,
-                                             joint=True)
+                                             joint=True,
+                                             fast_keys=True)
         if rng == "kernel" else None
     )
 
@@ -373,10 +379,12 @@ def make_batched_mppi_solve(env, N: int, H: int, lam: float,
     from covo_mpc_tpu.utils.keys import fold_in_batch
 
     dA = env.action_dim
-    rollout_b = make_pallas_rollout_batched(env, interpret=interpret)
+    rollout_b = make_pallas_rollout_batched(env, interpret=interpret,
+                                            fast_keys=True)
     sampler_b = (
         make_pallas_rollout_batched_sampling(env, interpret=interpret,
-                                             joint=False)
+                                             joint=False,
+                                             fast_keys=True)
         if rng == "kernel" else None
     )
 
@@ -470,8 +478,9 @@ def make_multichip_covo_step(env, mesh, N: int, H: int, lam: float,
             make_pallas_rollout_batched_sampling,
         )
 
-        fused = make_pallas_rollout_batched_sampling(env, interpret=interpret,
-                                                     joint=True)
+        fused = make_pallas_rollout_batched_sampling(
+            env, interpret=interpret, joint=True, fast_keys=True
+        )
     else:
         fused = None
     costs_engine = _make_batched_cost_engine(env, engine, interpret)

@@ -56,7 +56,13 @@ def make_cost_engine(env, engine: str, interpret: bool = False):
     step_key, deterministic, discount, vary_axes) -> costs (n_local,)``.
     """
     if engine == "jnp":
-        rollout = make_rollout(env)
+        # every distributed rng mode is non-parity (invariant/fast/kernel),
+        # so the rollouts use the fast disturbance key chain — same
+        # stream as the single-chip fast path (r5 review finding: the
+        # builders previously defaulted to the parity chain, so
+        # sharded stochastic rollouts drew different disturbances than
+        # the single-chip solvers at the same keys)
+        rollout = make_rollout(env, fast_keys=True)
 
         def costs_fn(x0, t0, pos_traj, vel_traj, actions, params, step_key,
                      deterministic, discount, vary_axes, layout="nhd"):
@@ -74,7 +80,8 @@ def make_cost_engine(env, engine: str, interpret: bool = False):
         # ragged per-shard sample counts are tile-padded by the kernel;
         # below PALLAS_TILE samples per shard each shard still computes a
         # full 1024-sample tile, so prefer fewer shards at tiny N
-        rollout = make_pallas_rollout(env, interpret=interpret)
+        rollout = make_pallas_rollout(env, interpret=interpret,
+                                      fast_keys=True)
 
         def costs_fn(x0, t0, pos_traj, vel_traj, actions, params, step_key,
                      deterministic, discount, vary_axes, layout="nhd"):
@@ -129,7 +136,8 @@ def make_sharded_mppi_solve(env, mesh, N: int, H: int, lam: float,
             make_pallas_rollout_sampling,
         )
 
-        fused = make_pallas_rollout_sampling(env, interpret=interpret)
+        fused = make_pallas_rollout_sampling(env, interpret=interpret,
+                                             fast_keys=True)
     else:
         fused = None
     rollout = make_cost_engine(env, engine, interpret)
@@ -252,7 +260,9 @@ def make_covo_local_core(env, H: int, lam: float, engine: str = "jnp",
             make_pallas_rollout_joint_sampling,
         )
 
-        fused = make_pallas_rollout_joint_sampling(env, interpret=interpret)
+        fused = make_pallas_rollout_joint_sampling(
+            env, interpret=interpret, fast_keys=True
+        )
     else:
         fused = None
     rollout = make_cost_engine(env, engine, interpret)

@@ -135,7 +135,7 @@ def time_slope(make_run, k: int = 32, reps: int = 5):
 
 
 def time_trace(make_run, chain: int = 256, iters: int = 4,
-               trace_dir: str = "/tmp/covo_time_trace"):
+               trace_dir: Optional[str] = None):
     """Per-iteration device seconds from a jax.profiler trace.
 
     Same ``make_run(length) -> run(i)`` contract as :func:`time_slope`,
@@ -146,9 +146,13 @@ def time_trace(make_run, chain: int = 256, iters: int = 4,
     ±2 ms host wobble is ±15-25% of a short chain (it produced two
     phantom readings below the kernel floor; see bench.py). Raises if
     the profiler/trace is unavailable — callers fall back to
-    :func:`time_slope`."""
+    :func:`time_slope`. ``trace_dir`` defaults to a per-process path so
+    concurrent bench processes cannot rmtree or mis-glob each other's
+    in-progress traces."""
     import shutil
 
+    if trace_dir is None:
+        trace_dir = f"/tmp/covo_time_trace_{os.getpid()}"
     run = make_run(chain)
     float(run(0))  # compile + warm
     if os.path.isdir(trace_dir):
@@ -315,8 +319,14 @@ def step_durations(hlos, marker: str):
     successive start timestamps give the true per-solve durations —
     including every inter-stage gap, unlike a stage-sum — with no host
     clock or tunnel RTT involved. Returns seconds, shape (K-1,) per
-    dispatch, concatenated over dispatches (gaps > 10x the median split
-    dispatches)."""
+    dispatch, concatenated over dispatches.
+
+    Dispatch boundaries are split at ``max(100x median, 2 ms)`` — the
+    inter-dispatch gap is host round-trip time (~25 ms on this box's
+    tunnel, >100x a sub-ms solve). A 10x-median cutoff (pre-r5) would
+    also have clipped GENUINE slow solves from the distribution this
+    function feeds to the "honest per-solve tail" (review finding);
+    anything under the boundary threshold now stays in."""
     exact = any(r["name"] == marker for r in hlos)
     match = (lambda n: n == marker) if exact else (lambda n: marker in n)
     starts = np.array(
@@ -328,4 +338,5 @@ def step_durations(hlos, marker: str):
         )
     deltas = np.diff(np.sort(starts))
     med = np.median(deltas)
-    return deltas[deltas < 10 * med] * 1e-6
+    boundary_us = max(100.0 * med, 2000.0)
+    return deltas[deltas < boundary_us] * 1e-6

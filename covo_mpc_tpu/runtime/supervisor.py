@@ -444,6 +444,25 @@ class CellStore:
         cached = self.get(key, fingerprint)
         if cached is not None:
             return cached, True
-        value = fn(self.cell_dir(key))
+        # a memo miss with a STALE per-cell checkpoint (the fingerprint
+        # changed — e.g. a --quick toggle alters steps=, or the kernel
+        # code changed) must recompute, not crash: run_supervised's
+        # _try_resume refuses a manifest from a different protocol with
+        # ValueError, which would abort the whole sweep mid-matrix.
+        # Clear the stale episode checkpoint first.
+        d = self.cell_dir(key)
+        mpath = os.path.join(d, _MANIFEST)
+        if os.path.exists(mpath):
+            try:
+                with open(mpath) as fh:
+                    stale = json.load(fh).get("fingerprint") != fingerprint
+            except (OSError, ValueError):
+                stale = True  # unreadable manifest: also clear
+            if stale:
+                for f in (_MANIFEST, _STATE):
+                    p = os.path.join(d, f)
+                    if os.path.exists(p):
+                        os.remove(p)
+        value = fn(d)
         self.put(key, fingerprint, value)
         return value, False

@@ -14,8 +14,9 @@ hours at a stretch (CLAUDE.md), so every cell runs SUPERVISED
 <checkpoint-root>/cells.json and the in-flight cell checkpoints every
 chunk — kill the process anywhere and re-running the same command
 resumes without recomputing a finished episode. --fresh discards the
-memo (cells re-run; in-flight episode checkpoints keep resuming),
---unsupervised restores the bare evaluate() path.
+memo AND each cell's episode-level checkpoint (a full re-measurement
+from episode 0 — a kept checkpoint of a completed run would otherwise
+just resume-at-end); --unsupervised restores the bare evaluate() path.
 
 Usage: python -u scripts/mode_gates.py [--quick] [--n 8192] [--out RESULTS.md]
 """

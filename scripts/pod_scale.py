@@ -104,12 +104,36 @@ def sweep(args):
 
         try:
             # device-trace wall (bench.trace_wall): the old two-point
-            # slope read B=8 25% fast here (0.63 vs 0.876 ms trace)
+            # slope read B=8 25% fast here (0.63 vs 0.876 ms trace).
+            # IMPORTANT: compile+warm OUTSIDE the trace helper first so a
+            # genuine OOM is distinguishable from a mere profiler/trace
+            # failure — only the latter falls back to the slope.
             import bench as _bench
 
-            per_batch = _bench.trace_wall(
-                make_run, a_means0, 4 * args.k, iters=3
-            )
+            run_warm = make_run(4 * args.k)
+            float(run_warm(a_means0, jax.random.PRNGKey(1)))  # OOM fires here
+            try:
+                per_batch = _bench.trace_wall(
+                    make_run, a_means0, 4 * args.k, iters=3
+                )
+            except Exception as e:  # noqa: BLE001 — profiler optional
+                print(f"[pod-scale] B={B}: trace wall unavailable "
+                      f"({e}); falling back to the two-point slope",
+                      file=sys.stderr)
+                k, k2 = args.k, 5 * args.k
+                run1, run2 = make_run(k), make_run(k2)
+                float(run1(a_means0, jax.random.PRNGKey(1)))
+                float(run2(a_means0, jax.random.PRNGKey(1)))
+                t1s, t2s = [], []
+                for i in range(3):
+                    key = jax.random.fold_in(jax.random.PRNGKey(2), i)
+                    t0 = time.perf_counter()
+                    float(run1(a_means0, key))
+                    t1s.append(time.perf_counter() - t0)
+                    t0 = time.perf_counter()
+                    float(run2(a_means0, key))
+                    t2s.append(time.perf_counter() - t0)
+                per_batch = (min(t2s) - min(t1s)) / (k2 - k)
         except Exception as e:  # noqa: BLE001 — record OOM and stop
             print(f"[pod-scale] B={B}: FAILED ({type(e).__name__}: "
                   f"{str(e)[:200]})", file=sys.stderr)

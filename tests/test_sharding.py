@@ -42,7 +42,7 @@ def setup():
 
 def _unsharded_mppi(env, params, state, a_mean, a_cov, act_key, step_key):
     """Single-device solve with the same invariant sampler."""
-    rollout = make_rollout(env)
+    rollout = make_rollout(env, fast_keys=True)
     a = sampling.sample_per_step(act_key, a_mean, a_cov, N, mode=sampling.INVARIANT)
     a = jnp.clip(a, -1.0, 1.0)
     costs, _ = rollout(
@@ -207,7 +207,7 @@ def test_multichip_control_step_gamma_sigma_matches_solver(setup):
     a = sampling.sample_per_step(ks[1], am, ac, n_samples,
                                  mode=sampling.INVARIANT)
     a = jnp.clip(a, -1.0, 1.0)
-    rollout = make_rollout(env)
+    rollout = make_rollout(env, fast_keys=True)
     costs, _ = rollout(
         pack_state(s0), s0.time, s0.pos_traj, s0.vel_traj,
         a, p0, ks[2], deterministic=False, discount=disc,
@@ -269,7 +269,7 @@ def test_batched_covo_solve_matches_per_scenario(setup):
 
     # per-scenario replication with the same RNG folds
     hess = make_hessian_adjoint(env, HB, primal="scan")
-    rollout = make_pallas_rollout(env, interpret=True)
+    rollout = make_pallas_rollout(env, interpret=True, fast_keys=True)
     for b in range(B):
         pb = jax.tree.map(lambda x: x[b], params_b)
         kb = jax.random.fold_in(key, b)
@@ -326,7 +326,7 @@ def test_batched_mppi_solve_matches_per_scenario(setup):
         gamma_mean=gm, gamma_sigma=gs, discount=disc,
     )
 
-    rollout = make_pallas_rollout(env, interpret=True)
+    rollout = make_pallas_rollout(env, interpret=True, fast_keys=True)
     for b in range(B):
         pb = jax.tree.map(lambda x: x[b], params_b)
         kb = jax.random.fold_in(key, b)
@@ -703,7 +703,8 @@ def test_sharded_mppi_kernel_rng_matches_direct(setup):
         a_mean, a_cov, 1.0, 0.0, 1.0, params, act_key, step_key,
     )
 
-    fused = make_pallas_rollout_sampling(env, interpret=True)
+    fused = make_pallas_rollout_sampling(env, interpret=True,
+                                         fast_keys=True)
     costs, a_flat = fused(
         pack_state(state), state.time, state.pos_traj, state.vel_traj,
         a_mean, jnp.linalg.cholesky(a_cov), params, step_key,
@@ -753,7 +754,8 @@ def test_sharded_covo_kernel_rng_matches_direct(setup):
         assert bool(jnp.all(jnp.isfinite(a_mean_new)))
         outs[n_shards] = (np.asarray(a_mean_new), float(min_cost))
 
-    fused = make_pallas_rollout_joint_sampling(env, interpret=True)
+    fused = make_pallas_rollout_joint_sampling(env, interpret=True,
+                                               fast_keys=True)
     costs, a_t = fused(
         pack_state(state), state.time, state.pos_traj, state.vel_traj,
         a_mean, factor, params, step_key, jax.random.fold_in(act_key, 0),

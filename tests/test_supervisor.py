@@ -250,6 +250,33 @@ def test_cell_store_resumes_matrix(tmp_path):
     assert CellStore(str(tmp_path / "sweep")).get("a", "fp1") == {"mean": 1.0}
 
 
+def test_cell_store_clears_stale_checkpoint_on_fingerprint_change(tmp_path):
+    """A fingerprint change with a STALE per-cell run_supervised
+    checkpoint on disk must recompute, not crash: _try_resume refuses a
+    manifest from a different protocol with ValueError, which would
+    abort a multi-hour sweep mid-matrix (r5 review finding)."""
+    env = make_env()
+    solver, _ = get_solver(env, "pid")
+    store = CellStore(str(tmp_path / "sweep"))
+
+    def cell(fp):
+        def fn(ckpt_dir):
+            res = run_supervised(env, solver, total_steps=600,
+                                 checkpoint_dir=ckpt_dir, chunk_episodes=1,
+                                 fingerprint=fp)
+            return {"mean": float(res.mean)}
+        return fn
+
+    v1, cached1 = store.run_cell("x", "fpA", cell("fpA"))
+    assert not cached1
+    # config changed (e.g. --quick toggles steps=): the finished
+    # checkpoint under root/x belongs to fpA — must be cleared and the
+    # cell re-measured under fpB, not ValueError'd
+    v2, cached2 = store.run_cell("x", "fpB", cell("fpB"))
+    assert not cached2
+    assert v2 == v1  # same protocol here, so same value either way
+
+
 def test_probe_gates_retry():
     """probe() returning False skips pointless retries (tunnel known-down)."""
     env = make_env()
