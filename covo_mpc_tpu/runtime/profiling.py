@@ -321,12 +321,17 @@ def step_durations(hlos, marker: str):
     clock or tunnel RTT involved. Returns seconds, shape (K-1,) per
     dispatch, concatenated over dispatches.
 
-    Dispatch boundaries are split at ``max(100x median, 2 ms)`` — the
-    inter-dispatch gap is host round-trip time (~25 ms on this box's
-    tunnel, >100x a sub-ms solve). A 10x-median cutoff (pre-r5) would
-    also have clipped GENUINE slow solves from the distribution this
-    function feeds to the "honest per-solve tail" (review finding);
-    anything under the boundary threshold now stays in."""
+    Dispatch boundaries are split at ``min(max(100x median, 2 ms),
+    median + 10 ms)``: the inter-dispatch gap is the host round trip
+    (>= ~20 ms on this box's tunnel) ON TOP of the last solve, so any
+    delta more than 10 ms above the median is a boundary — while a
+    10x-median cutoff (pre-r5) would also have clipped GENUINE slow
+    solves from the distribution this function feeds to the "honest
+    per-solve tail", and an uncapped 100x-median cutoff would re-admit
+    RTT gaps for solvers with median >= ~0.25 ms (both review
+    findings). Device-side execution of one XLA program does not stall
+    10 ms above its own median, so everything under the boundary is a
+    real solve."""
     exact = any(r["name"] == marker for r in hlos)
     match = (lambda n: n == marker) if exact else (lambda n: marker in n)
     starts = np.array(
@@ -338,5 +343,5 @@ def step_durations(hlos, marker: str):
         )
     deltas = np.diff(np.sort(starts))
     med = np.median(deltas)
-    boundary_us = max(100.0 * med, 2000.0)
+    boundary_us = min(max(100.0 * med, 2000.0), med + 10_000.0)
     return deltas[deltas < boundary_us] * 1e-6

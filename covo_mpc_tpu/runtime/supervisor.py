@@ -449,9 +449,19 @@ class CellStore:
         # code changed) must recompute, not crash: run_supervised's
         # _try_resume refuses a manifest from a different protocol with
         # ValueError, which would abort the whole sweep mid-matrix.
-        # Clear the stale episode checkpoint first.
+        # Clear a fingerprint-mismatched checkpoint up front, and — for
+        # protocol fields the fingerprint does not encode (seed,
+        # chunk_episodes, num_trajs; review finding) — also catch the
+        # refusal itself, clear, and retry ONCE.
         d = self.cell_dir(key)
         mpath = os.path.join(d, _MANIFEST)
+
+        def clear_ckpt():
+            for f in (_MANIFEST, _STATE):
+                p = os.path.join(d, f)
+                if os.path.exists(p):
+                    os.remove(p)
+
         if os.path.exists(mpath):
             try:
                 with open(mpath) as fh:
@@ -459,10 +469,13 @@ class CellStore:
             except (OSError, ValueError):
                 stale = True  # unreadable manifest: also clear
             if stale:
-                for f in (_MANIFEST, _STATE):
-                    p = os.path.join(d, f)
-                    if os.path.exists(p):
-                        os.remove(p)
-        value = fn(d)
+                clear_ckpt()
+        try:
+            value = fn(d)
+        except ValueError as e:
+            if "different protocol" not in str(e):
+                raise
+            clear_ckpt()
+            value = fn(d)
         self.put(key, fingerprint, value)
         return value, False

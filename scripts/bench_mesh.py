@@ -148,7 +148,6 @@ def bench_sample_sharding(env, args, shard_counts):
     from covo_mpc_tpu.models.structs import pack_state
     from covo_mpc_tpu.parallel import make_mesh
     from covo_mpc_tpu.parallel.sharded import make_distributed_covo_solve
-    from covo_mpc_tpu.runtime.profiling import time_slope
     from covo_mpc_tpu.solvers import hover_sequence
 
     params = env.default_params
@@ -216,7 +215,6 @@ def bench_scenario_dp(env, args, n_chips, B):
     chip running the batched CoVO step on its local scenarios."""
     from covo_mpc_tpu.parallel import make_mesh
     from covo_mpc_tpu.parallel.scenarios import make_multichip_covo_step
-    from covo_mpc_tpu.runtime.profiling import time_slope
     from covo_mpc_tpu.solvers import hover_sequence
 
     rows = []
@@ -351,7 +349,6 @@ def bench_pipeline(env, args):
         make_pipeline_mesh,
         make_pipeline_step,
     )
-    from covo_mpc_tpu.runtime.profiling import time_slope
     from covo_mpc_tpu.solvers import hover_sequence
 
     params = env.default_params

@@ -31,7 +31,13 @@ sys.path.insert(0, ".")
 
 
 def trace_wall(run, cp, k, iters, tdir):
-    """Per-solve device wall from the scan-while duration in a trace."""
+    """Per-solve device wall from the scan-while duration in a trace.
+
+    Deliberately NOT runtime/profiling.time_trace: this variant also
+    returns the chosen while-op's NAME (printed per variant so a stub
+    that accidentally changes program structure is visible) and takes an
+    explicit per-variant trace dir so all variants' traces survive for
+    inspection."""
     import glob
     import os
     import shutil

@@ -120,20 +120,16 @@ def sweep(args):
                 print(f"[pod-scale] B={B}: trace wall unavailable "
                       f"({e}); falling back to the two-point slope",
                       file=sys.stderr)
-                k, k2 = args.k, 5 * args.k
-                run1, run2 = make_run(k), make_run(k2)
-                float(run1(a_means0, jax.random.PRNGKey(1)))
-                float(run2(a_means0, jax.random.PRNGKey(1)))
-                t1s, t2s = [], []
-                for i in range(3):
-                    key = jax.random.fold_in(jax.random.PRNGKey(2), i)
-                    t0 = time.perf_counter()
-                    float(run1(a_means0, key))
-                    t1s.append(time.perf_counter() - t0)
-                    t0 = time.perf_counter()
-                    float(run2(a_means0, key))
-                    t2s.append(time.perf_counter() - t0)
-                per_batch = (min(t2s) - min(t1s)) / (k2 - k)
+                from covo_mpc_tpu.runtime.profiling import time_slope
+
+                def adapt(length):
+                    run = make_run(length)
+                    return lambda i: run(
+                        a_means0,
+                        jax.random.fold_in(jax.random.PRNGKey(2), i),
+                    )
+
+                per_batch, _ = time_slope(adapt, k=args.k, reps=3)
         except Exception as e:  # noqa: BLE001 — record OOM and stop
             print(f"[pod-scale] B={B}: FAILED ({type(e).__name__}: "
                   f"{str(e)[:200]})", file=sys.stderr)

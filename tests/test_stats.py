@@ -55,3 +55,37 @@ def test_floor_guards_degenerate_spread():
 def test_needs_two_samples():
     with pytest.raises(ValueError):
         assert_sampled_mean_agreement([np.zeros(3)], np.zeros(3))
+
+
+# --- step_durations dispatch-boundary split (runtime/profiling.py) ------
+
+
+def _rows(deltas_us, marker="solve_kernel"):
+    ts, t = [], 0.0
+    for d in [0.0] + list(deltas_us):
+        t += d
+        ts.append(t)
+    return [{"name": marker, "ts_us": ts_i, "dur_us": 1.0, "category": "x"}
+            for ts_i in ts]
+
+
+def test_step_durations_keeps_slow_solves_splits_dispatches():
+    """r5 review findings, both directions: a genuinely slow solve
+    (>10x median but well under the RTT scale) must STAY in the
+    distribution; the inter-dispatch gap (median + >=20 ms host RTT)
+    must be split out — including for slow solvers whose 100x-median
+    would exceed the RTT (the min(..., med+10ms) clamp)."""
+    from covo_mpc_tpu.runtime.profiling import step_durations
+
+    # fast solver: median 130 us, one real 2 ms hiccup, one 25 ms gap
+    deltas = [130.0] * 20 + [2000.0] + [130.0] * 10 + [25_130.0]
+    got = step_durations(_rows(deltas), "solve_kernel") * 1e6
+    assert got.max() == pytest.approx(2000.0)   # hiccup kept
+    assert (got > 10_000).sum() == 0            # dispatch gap split
+
+    # slow solver (median 500 us): 100x median = 50 ms > RTT — the
+    # med+10ms clamp must still split the ~25.5 ms dispatch gap
+    deltas = [500.0] * 20 + [25_500.0] + [500.0] * 10
+    got = step_durations(_rows(deltas), "solve_kernel") * 1e6
+    assert got.max() == pytest.approx(500.0)
+    assert len(got) == 30

@@ -276,6 +276,18 @@ def test_cell_store_clears_stale_checkpoint_on_fingerprint_change(tmp_path):
     assert not cached2
     assert v2 == v1  # same protocol here, so same value either way
 
+    # a protocol field the fingerprint does NOT encode (here: seed)
+    # changes — _try_resume's refusal must be caught, the checkpoint
+    # cleared, and the cell recomputed once (not abort the sweep)
+    store.drop("x")  # memo miss, checkpoint for fpB/seed=1 left on disk
+    def fn_seed2(ckpt_dir):
+        res = run_supervised(env, solver, total_steps=600, seed=2,
+                             checkpoint_dir=ckpt_dir, chunk_episodes=1,
+                             fingerprint="fpB")
+        return {"mean": float(res.mean)}
+    v3, cached3 = store.run_cell("x", "fpB", fn_seed2)
+    assert not cached3 and np.isfinite(v3["mean"])
+
 
 def test_probe_gates_retry():
     """probe() returning False skips pointless retries (tunnel known-down)."""
