@@ -89,3 +89,26 @@ def test_step_durations_keeps_slow_solves_splits_dispatches():
     got = step_durations(_rows(deltas), "solve_kernel") * 1e6
     assert got.max() == pytest.approx(500.0)
     assert len(got) == 30
+
+
+def test_time_trace_raises_cleanly_off_tpu():
+    """time_trace needs per-HLO device events (a TPU-trace feature); on
+    CPU it must raise (not return garbage) so callers fall back to
+    time_slope — the contract bench.py / bench_mesh / pod_scale rely on."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from covo_mpc_tpu.runtime.profiling import time_trace
+
+    def make_run(length):
+        @jax.jit
+        def run(i):
+            def one(c, _):
+                return c * 0.999 + jnp.float32(i) * 1e-9, None
+            out, _ = lax.scan(one, jnp.ones((8, 8)), None, length=length)
+            return jnp.sum(out)
+        return run
+
+    with pytest.raises(Exception):
+        time_trace(make_run, chain=16, iters=1)
