@@ -54,12 +54,17 @@ def _make_reward(env: QuadEnv):
 
 
 def _make_done(env: QuadEnv):
-    max_steps = env.default_params.max_steps_in_episode
     check_rollover = not env.config.disable_rollover_terminate
     cos_45 = jnp.cos(jnp.pi / 4.0)
 
-    def done_fn(x, t):
-        """Termination on the pre-step state (reference: quadrotor.py:479-490)."""
+    def done_fn(x, t, max_steps):
+        """Termination on the pre-step state (reference: quadrotor.py:479-490).
+
+        ``max_steps`` comes from the RUNTIME params — baking the
+        default in at build time diverged from the env step
+        (quad_env.is_terminal reads params.max_steps_in_episode) and
+        from the pallas kernel (which packs it into its ints operand)
+        for any non-default episode length (r5 review finding)."""
         d = (t >= max_steps) | (jnp.abs(x[..., POS]) > 3.0).any(axis=-1)
         if check_rollover:
             d = d | (x[..., QUAT][..., 3] < cos_45)
@@ -133,7 +138,7 @@ def make_rollout(env: QuadEnv, fast_keys: bool = False):
             vel_tar = vel_traj[ti]
 
             r = reward_fn(x, pos_tar, vel_tar)
-            d = done_fn(x, t)
+            d = done_fn(x, t, params.max_steps_in_episode)
             r = jnp.where(d_prev, r_prev, r)
             d = d | d_prev
 

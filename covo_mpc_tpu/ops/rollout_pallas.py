@@ -138,6 +138,37 @@ NSCAL = 17
 NINT = 3  # [t0, max_steps, disturb_period]
 
 
+def _disturb_mode(env: QuadEnv, kernel_draw: bool = False) -> str:
+    """Kernel disturbance mode for ``env`` — the ONE definition shared by
+    every engine builder (drift risk: the krng in-kernel draw exists only
+    where ``kernel_draw=True`` is passed — currently the single-scenario
+    sampling builder; the batched/sharded builders keep the XLA-side
+    "shared" draw, whose per-scenario cost is amortized over B)."""
+    dtype = env.config.disturb_type
+    if dtype in ("drag", "mixed"):
+        return dtype
+    if dtype in ("gaussian", "none"):
+        return "krng" if kernel_draw else "shared"
+    return "table"
+
+
+def _lane_blocks(N: int):
+    """(N_pad, lanes, LB) tile geometry shared by every engine builder.
+
+    The sample axis pads to whole (SUB, 128) tiles; the lane-block size
+    must DIVIDE lanes or the tail blocks are never computed
+    (grid = lanes // LB): N % 1024 == 0 guarantees lanes % 128 == 0, so
+    halving from 512 always terminates."""
+    TILE = SUB * 128
+    N_pad = -(-N // TILE) * TILE
+    lanes = N_pad // SUB
+    LB = min(512, lanes)
+    while lanes % LB:
+        LB //= 2
+    return N_pad, lanes, LB
+
+
+
 def build_disturb_table(env: QuadEnv, x0, t0, params, step_key, deterministic,
                         H, fast_keys: bool = False):
     """(H, 3) table: the f_disturb in effect during step h.
@@ -200,9 +231,11 @@ def build_kernel_disturb(env: QuadEnv, x0, t0, params, step_key,
         params = params.replace(
             dyn_noise_scale=params.dyn_noise_scale * (1.0 - deterministic)
         )
-        if deterministic is True:
-            # static deterministic: gaussian/none scale the draw by
-            # dyn_noise_scale*(1-1)=0 — skip the key chain + draw outright
+        if deterministic is True or dtype == "none":
+            # static deterministic (both types) and "none" outright:
+            # the draw is statically zero — skip the key chain + draw
+            # (for "none" the old path still ran the threefry chain /
+            # the in-kernel draw tiles just to multiply by 0)
             return jnp.zeros((H, 3), jnp.float32), jnp.zeros(3, jnp.float32)
         if kernel_draw:
             # "krng" disturb mode: the kernel draws the shared normals
@@ -562,12 +595,7 @@ def make_pallas_rollout(env: QuadEnv, interpret: bool = False,
     """
     reward_name = env.reward_name
     check_rollover = not env.config.disable_rollover_terminate
-    disturb_mode = (
-        env.config.disturb_type
-        if env.config.disturb_type in ("drag", "mixed")
-        else ("shared" if env.config.disturb_type in ("gaussian", "none")
-              else "table")
-    )
+    disturb_mode = _disturb_mode(env)
 
     def rollout_costs(
         x0, t0, pos_traj, vel_traj, actions, params, step_key,
@@ -595,8 +623,7 @@ def make_pallas_rollout(env: QuadEnv, interpret: bool = False,
         # with zero actions and slice their costs away — a single tile
         # computes 1024 samples regardless, so small/ragged N costs nothing
         # extra (enables the fused engine for the N-ablation's N=16..512)
-        TILE = SUB * 128
-        N_pad = -(-N // TILE) * TILE
+        N_pad, lanes, LB = _lane_blocks(N)
         if N_pad != N:
             pad_shape = (
                 (N_pad - N, H, dA) if layout == "nhd" else (H, dA, N_pad - N)
@@ -605,13 +632,6 @@ def make_pallas_rollout(env: QuadEnv, interpret: bool = False,
                 [actions, jnp.zeros(pad_shape, actions.dtype)],
                 axis=0 if layout == "nhd" else -1,
             )
-        lanes = N_pad // SUB
-        # lane-block size must DIVIDE lanes or the tail blocks are never
-        # computed (grid = lanes // LB): N % 1024 == 0 guarantees
-        # lanes % 128 == 0, so halving from 512 always terminates
-        LB = min(512, lanes)
-        while lanes % LB:
-            LB //= 2
 
         ptar, vtar, dist, scal, ints = _pack_kernel_inputs(
             env, x0, t0, pos_traj, vel_traj, params, step_key,
@@ -688,20 +708,14 @@ def make_pallas_rollout_sampling(env: QuadEnv, interpret: bool = False,
     reward_name = env.reward_name
     check_rollover = not env.config.disable_rollover_terminate
     gen = "input_z" if (interpret or jax.default_backend() != "tpu") else "prng"
-    # hardware path + gaussian/none: the shared disturbance draw moves
+    # hardware path + gaussian: the shared disturbance draw moves
     # IN-KERNEL ("krng" mode) — a distinct stream from the jnp/interpret
     # engines (like the kernel action draw itself), quality-gated in
-    # RESULTS.md. Off-TPU keeps the XLA-side draw ("shared").
-    kernel_draw = (
-        gen == "prng" and env.config.disturb_type in ("gaussian", "none")
-    )
-    disturb_mode = (
-        env.config.disturb_type
-        if env.config.disturb_type in ("drag", "mixed")
-        else ("krng" if kernel_draw
-              else ("shared" if env.config.disturb_type in ("gaussian", "none")
-                    else "table"))
-    )
+    # RESULTS.md. Off-TPU keeps the XLA-side draw ("shared"); "none"
+    # stays "shared" too — its draw is statically zero, so the krng
+    # tiles would be pure dead work (r5 review finding).
+    kernel_draw = gen == "prng" and env.config.disturb_type == "gaussian"
+    disturb_mode = _disturb_mode(env, kernel_draw=kernel_draw)
 
     def rollout_sample(
         x0, t0, pos_traj, vel_traj, a_mean, chol, params, step_key, act_key,
@@ -709,12 +723,7 @@ def make_pallas_rollout_sampling(env: QuadEnv, interpret: bool = False,
     ):
         H, dA = a_mean.shape
         assert dA == 4, f"pallas sampling rollout needs action_dim=4, got {dA}"
-        TILE = SUB * 128
-        N_pad = -(-N // TILE) * TILE
-        lanes = N_pad // SUB
-        LB = min(512, lanes)
-        while lanes % LB:
-            LB //= 2
+        N_pad, lanes, LB = _lane_blocks(N)
 
         ptar, vtar, dist, scal, ints = _pack_kernel_inputs(
             env, x0, t0, pos_traj, vel_traj, params, step_key,
@@ -811,12 +820,7 @@ def make_pallas_rollout_joint_sampling(env: QuadEnv, interpret: bool = False,
     """
     reward_name = env.reward_name
     check_rollover = not env.config.disable_rollover_terminate
-    disturb_mode = (
-        env.config.disturb_type
-        if env.config.disturb_type in ("drag", "mixed")
-        else ("shared" if env.config.disturb_type in ("gaussian", "none")
-              else "table")
-    )
+    disturb_mode = _disturb_mode(env)
     gen = "input_z" if (interpret or jax.default_backend() != "tpu") else "prng"
 
     def rollout_sample(
@@ -826,14 +830,9 @@ def make_pallas_rollout_joint_sampling(env: QuadEnv, interpret: bool = False,
         H, dA = a_mean.shape
         assert dA == 4, f"pallas sampling rollout needs action_dim=4, got {dA}"
         D = H * dA
-        TILE = SUB * 128
-        N_pad = -(-N // TILE) * TILE
-        lanes = N_pad // SUB
         # (D, SUB, LB) z + a3 + act-out blocks at LB=512, D=128 are 3 x 2 MB
-        # of VMEM — fits; halve LB if D ever grows past 128
-        LB = min(512, lanes)
-        while lanes % LB:
-            LB //= 2
+        # of VMEM — fits; halve LB in _lane_blocks if D ever grows past 128
+        N_pad, lanes, LB = _lane_blocks(N)
 
         ptar, vtar, dist, scal, ints = _pack_kernel_inputs(
             env, x0, t0, pos_traj, vel_traj, params, step_key,
@@ -915,12 +914,7 @@ def make_pallas_rollout_batched(env: QuadEnv, interpret: bool = False,
     """
     reward_name = env.reward_name
     check_rollover = not env.config.disable_rollover_terminate
-    disturb_mode = (
-        env.config.disturb_type
-        if env.config.disturb_type in ("drag", "mixed")
-        else ("shared" if env.config.disturb_type in ("gaussian", "none")
-              else "table")
-    )
+    disturb_mode = _disturb_mode(env)
 
     def rollout_costs_b(
         x0s, t0s, pos_trajs, vel_trajs, actions, params_b, step_keys,
@@ -938,8 +932,7 @@ def make_pallas_rollout_batched(env: QuadEnv, interpret: bool = False,
             B, H, dA, N = actions.shape
         assert dA == 4, f"pallas batched rollout needs action_dim=4, got {dA}"
         # pad the sample axis to a whole tile (see make_pallas_rollout)
-        TILE = SUB * 128
-        N_pad = -(-N // TILE) * TILE
+        N_pad, lanes, LB = _lane_blocks(N)
         if N_pad != N:
             pad_shape = (
                 (B, N_pad - N, H, dA) if layout == "bnhd"
@@ -949,13 +942,6 @@ def make_pallas_rollout_batched(env: QuadEnv, interpret: bool = False,
                 [actions, jnp.zeros(pad_shape, actions.dtype)],
                 axis=1 if layout == "bnhd" else -1,
             )
-        lanes = N_pad // SUB
-        # lane-block size must DIVIDE lanes or the tail blocks are never
-        # computed (grid = lanes // LB): N % 1024 == 0 guarantees
-        # lanes % 128 == 0, so halving from 512 always terminates
-        LB = min(512, lanes)
-        while lanes % LB:
-            LB //= 2
         T = pos_trajs.shape[1]
 
         ptar, vtar, dist, scal, ints = jax.vmap(
@@ -1036,12 +1022,7 @@ def make_pallas_rollout_batched_sampling(
     """
     reward_name = env.reward_name
     check_rollover = not env.config.disable_rollover_terminate
-    disturb_mode = (
-        env.config.disturb_type
-        if env.config.disturb_type in ("drag", "mixed")
-        else ("shared" if env.config.disturb_type in ("gaussian", "none")
-              else "table")
-    )
+    disturb_mode = _disturb_mode(env)
     gen = "input_z" if (interpret or jax.default_backend() != "tpu") else "prng"
 
     def rollout_sample(
@@ -1051,12 +1032,7 @@ def make_pallas_rollout_batched_sampling(
         B, H, dA = a_means.shape
         assert dA == 4, f"pallas sampling rollout needs action_dim=4, got {dA}"
         D = H * dA
-        TILE = SUB * 128
-        N_pad = -(-N // TILE) * TILE
-        lanes = N_pad // SUB
-        LB = min(512, lanes)
-        while lanes % LB:
-            LB //= 2
+        N_pad, lanes, LB = _lane_blocks(N)
 
         ptar, vtar, dist, scal, ints = jax.vmap(
             lambda x0, t0, pt, vt, p, k: _pack_kernel_inputs(

@@ -109,6 +109,25 @@ def test_time_limit_freeze():
     )
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-5)
 
+    # NON-DEFAULT episode length from the RUNTIME params: the jnp
+    # engine used to bake default max_steps_in_episode in at build time
+    # (r5 review finding) — both engines must freeze at the runtime
+    # limit, and shortening it must actually change the costs
+    params10 = params.replace(max_steps_in_episode=jnp.int32(10))
+    ref10, _ = jnp_engine(
+        x0, 8, state.pos_traj, state.vel_traj, actions, params10, key
+    )
+    got10, _ = pallas_engine(
+        x0, 8, state.pos_traj, state.vel_traj, actions, params10, key
+    )
+    np.testing.assert_allclose(got10, ref10, atol=2e-4, rtol=1e-5)
+    ref_full, _ = jnp_engine(
+        x0, 8, state.pos_traj, state.vel_traj, actions, params, key
+    )
+    assert not np.allclose(np.asarray(ref10), np.asarray(ref_full)), (
+        "shortening max_steps_in_episode must change rollout costs"
+    )
+
 
 def test_disturb_table_matches_rollout_semantics():
     """Table[h] must equal the f_disturb the jnp engine integrates with."""
