@@ -182,7 +182,7 @@ def derive_dynamics_keys(step_key: jax.Array, fast: bool = False):
     free_dynamics:  key', key_dyn  = split(step_key')    (free.py:136)
                     disturb_key, _ = split(key')         (free.py:144)
 
-    Returns (disturb_key,).
+    Returns the bare disturb key (not a tuple).
 
     ``fast=True`` short-circuits to ``step_key`` itself: the three
     sequential threefry splits exist only to REPLICATE the reference's

@@ -80,21 +80,26 @@ class CoVOSolver(BaseSolver):
             # so it pairs with the fast/invariant samplers, not parity
             if rng_mode == sampling.PARITY:
                 raise ValueError(f"sigma_mode={sigma_mode!r} is not a parity path")
-            if sigma_mode == "ns":
+            if sigma_mode == "ns" or mode == "offline":
+                # offline precomputes the Σ schedule by VMAPPING the
+                # designer over the episode (reset), and pallas_call
+                # does not vmap over its SMEM operands on hardware (the
+                # same constraint that keeps the Hessian primal on the
+                # scan path there, see below) — interpret mode passes,
+                # so only a hardware run would crash; force the jnp NS
+                # designer for offline regardless of sigma_mode.
                 self._optimize_sigma = covariance.optimize_sigma_ns
             else:
                 # fused single-kernel variant; measured on par with the jnp
                 # path on TPU (XLA already runs the matmul chain at the MXU
                 # floor) — kept for in-kernel fusion headroom
-                from functools import partial as _partial
-
                 from covo_mpc_tpu.ops.covariance_pallas import (
                     optimize_sigma_ns_pallas,
                 )
 
                 # the Σ kernel is TPU-only; interpret everywhere else so
                 # ns_pallas works regardless of the rollout engine choice
-                self._optimize_sigma = _partial(
+                self._optimize_sigma = partial(
                     optimize_sigma_ns_pallas,
                     interpret=(
                         engine == "pallas_interpret"
@@ -414,6 +419,26 @@ class CoVOSolver(BaseSolver):
             )
         return action, control_params, info_out
 
+    def _solve_info(self, costs, weight, a_cov, poses=None):
+        """Per-solve info dict shared by both engine layouts (debug poses
+        + optional metrics payload — ONE definition so the layouts
+        cannot silently report different metrics)."""
+        info = {}
+        if poses is not None:
+            info["pos_mean"] = jnp.mean(poses, axis=1)
+            info["pos_std"] = jnp.std(poses, axis=1)
+        if self.collect_metrics:
+            from covo_mpc_tpu.runtime.metrics import (
+                sigma_metrics,
+                solve_metrics,
+            )
+
+            info["metrics"] = {
+                **solve_metrics(costs, weight),
+                **sigma_metrics(a_cov),
+            }
+        return info
+
     def _sample_rollout_update(
         self, control_params, env_state, env_params, rng_act, a_cov, factor
     ):
@@ -459,18 +484,8 @@ class CoVOSolver(BaseSolver):
                 control_params.a_mean, control_params.gamma_mean,
             )
             control_params = control_params.replace(a_mean=a_mean)
-            info = {}
-            if self.collect_metrics:
-                from covo_mpc_tpu.runtime.metrics import (
-                    sigma_metrics,
-                    solve_metrics,
-                )
-
-                info["metrics"] = {
-                    **solve_metrics(costs, weight),
-                    **sigma_metrics(a_cov),
-                }
-            return control_params.a_mean[0], control_params, info
+            return (control_params.a_mean[0], control_params,
+                    self._solve_info(costs, weight, a_cov))
 
         a_flat = sampling.sample_joint(
             act_key, a_mean.flatten(), factor, self.N, mode=self.rng_mode
@@ -497,16 +512,6 @@ class CoVOSolver(BaseSolver):
             weight, a_sampled, control_params.a_mean, control_params.gamma_mean
         )
         control_params = control_params.replace(a_mean=a_mean)
-
-        if self.collect_debug:
-            info = {"pos_mean": jnp.mean(poses, axis=1), "pos_std": jnp.std(poses, axis=1)}
-        else:
-            info = {}
-        if self.collect_metrics:
-            from covo_mpc_tpu.runtime.metrics import sigma_metrics, solve_metrics
-
-            info["metrics"] = {
-                **solve_metrics(costs, weight),
-                **sigma_metrics(a_cov),
-            }
-        return control_params.a_mean[0], control_params, info
+        return (control_params.a_mean[0], control_params,
+                self._solve_info(costs, weight, a_cov,
+                                 poses if self.collect_debug else None))

@@ -33,7 +33,13 @@ def parse_sample_params(param_text: str):
 def resolve_engine(env, N: int, engine: str, collect_debug: bool) -> str:
     """Resolve engine="auto": the fused Pallas rollout on TPU (the kernel
     covers every disturbance model and tile-pads ragged N), unless debug
-    pose collection is requested (kernel computes costs only)."""
+    pose collection is requested (kernel computes costs only).
+
+    ``env``/``N`` are currently unused: the kernel handles every
+    disturbance model and ragged N, so the choice no longer depends on
+    them — the parameters stay so env/size-conditional dispatch can
+    return without touching call sites (same for ``env`` in
+    :func:`resolve_hessian_mode`)."""
     if engine != "auto":
         return engine
     import jax

@@ -99,6 +99,20 @@ class MPPISolver(BaseSolver):
         else:
             raise ValueError(f"unknown engine {engine!r}")
 
+    def _solve_info(self, costs, weight, poses=None):
+        """Per-solve info dict shared by both engine layouts (one
+        definition so the layouts cannot silently report different
+        metrics)."""
+        info = {}
+        if poses is not None:
+            info["pos_mean"] = jnp.mean(poses, axis=1)
+            info["pos_std"] = jnp.std(poses, axis=1)
+        if self.collect_metrics:
+            from covo_mpc_tpu.runtime.metrics import solve_metrics
+
+            info["metrics"] = solve_metrics(costs, weight)
+        return info
+
     @partial(jax.jit, static_argnums=(0,))
     def __call__(self, obs, env_state, env_params, rng_act, control_params, info=None):
         # controllers act on the obs-noise-injected state (reference: mppi.py:40)
@@ -168,12 +182,8 @@ class MPPISolver(BaseSolver):
             control_params = control_params.replace(
                 a_mean=a_mean, a_cov=a_cov, a_cov_chol=a_chol
             )
-            info = {}
-            if self.collect_metrics:
-                from covo_mpc_tpu.runtime.metrics import solve_metrics
-
-                info["metrics"] = solve_metrics(costs, weight)
-            return control_params.a_mean[0], control_params, info
+            return (control_params.a_mean[0], control_params,
+                    self._solve_info(costs, weight))
 
         a_sampled = sampling.sample_per_step(
             act_key, a_mean, a_cov, self.N, mode=self.rng_mode, chol=a_chol
@@ -211,13 +221,6 @@ class MPPISolver(BaseSolver):
         control_params = control_params.replace(
             a_mean=a_mean, a_cov=a_cov, a_cov_chol=a_chol
         )
-
-        if self.collect_debug:
-            info = {"pos_mean": jnp.mean(poses, axis=1), "pos_std": jnp.std(poses, axis=1)}
-        else:
-            info = {}
-        if self.collect_metrics:
-            from covo_mpc_tpu.runtime.metrics import solve_metrics
-
-            info["metrics"] = solve_metrics(costs, weight)
-        return control_params.a_mean[0], control_params, info
+        return (control_params.a_mean[0], control_params,
+                self._solve_info(costs, weight,
+                                 poses if self.collect_debug else None))
