@@ -261,13 +261,20 @@ def make_pipeline_step(
 
 
 def make_init_factor(env, H: int, sample_sigma: float = 0.5,
-                     hessian_primal: str = "scan"):
+                     hessian_primal: str = "scan",
+                     hessian_mode: str = "adjoint"):
     """Cold-start Σ factor for :func:`make_pipeline_step` — designed at the
     reset state around the shifted nominal, exactly like the single-chip
-    speculative mode's reset (solvers/covo.py CoVOSolver.reset)."""
+    speculative mode's reset (solvers/covo.py CoVOSolver.reset).
+
+    Pass the SAME ``hessian_mode`` as the pipeline step: a gn pipeline
+    cold-starting from a second-order adjoint factor would design step 0
+    from a different curvature than every later step (r5 review
+    finding)."""
     dA = env.action_dim
     D = H * dA
-    hess = make_hessian_adjoint(env, H, primal=hessian_primal)
+    hess = make_hessian_adjoint(env, H, primal=hessian_primal,
+                                second_order=hessian_mode == "adjoint")
 
     @jax.jit
     def init_factor(x0, t0, pos_traj, vel_traj, a_mean, params, key):

@@ -188,17 +188,27 @@ def make_multichip_control_step(env, mesh, N: int, H: int, lam: float,
         mean_w = lax.psum(jnp.einsum(mean_spec, weight, a_local), SAMPLE_AXIS)
         a_means_new = mean_w * gamma_mean + a_means * (1.0 - gamma_mean)
         # covariance centered on the UPDATED mean (reference: mppi.py:119-125)
-        if transposed:
-            dev = a_local - a_means_new[..., None]
-            cov_w = lax.psum(
-                jnp.einsum("bn,bhin,bhjn->bhij", weight, dev, dev), SAMPLE_AXIS
-            )
-        else:
-            dev = a_local - a_means_new[:, None]
-            cov_w = lax.psum(
-                jnp.einsum("bn,bnhi,bnhj->bhij", weight, dev, dev), SAMPLE_AXIS
-            )
-        a_covs_new = cov_w * gamma_sigma + a_covs * (1.0 - gamma_sigma)
+        def blended(_):
+            # identity at the paper's gamma_sigma=0 but re-reads the
+            # whole action tensor — skip like reductions.cov_update_t
+            # (gamma_sigma is replicated, so the cond + psum stay
+            # collective-consistent across shards)
+            if transposed:
+                dev = a_local - a_means_new[..., None]
+                cov_w = lax.psum(
+                    jnp.einsum("bn,bhin,bhjn->bhij", weight, dev, dev),
+                    SAMPLE_AXIS,
+                )
+            else:
+                dev = a_local - a_means_new[:, None]
+                cov_w = lax.psum(
+                    jnp.einsum("bn,bnhi,bnhj->bhij", weight, dev, dev),
+                    SAMPLE_AXIS,
+                )
+            return cov_w * gamma_sigma + a_covs * (1.0 - gamma_sigma)
+
+        a_covs_new = lax.cond(gamma_sigma == 0.0, lambda _: a_covs, blended,
+                              None)
 
         actions = a_means_new[:, 0]
         _, states_new, rewards, dones, _ = jax.vmap(env.step)(
@@ -266,6 +276,13 @@ def make_batched_covo_solve(env, N: int, H: int, lam: float,
         make_pallas_rollout_batched_sampling,
     )
 
+    if rng not in ("fast", "kernel"):
+        # "invariant" is a sharded-core mode; the batched single-chip
+        # solves draw per-scenario fold_in streams ("fast") or in-kernel
+        # ("kernel") — anything else used to FALL THROUGH to fast
+        # silently, mis-attributing results (r5 review finding)
+        raise ValueError(f"batched solve supports rng='fast'/'kernel', "
+                         f"got {rng!r}")
     dA = env.action_dim
     D = H * dA
     if hessian_mode not in ("adjoint", "gn"):
@@ -378,6 +395,13 @@ def make_batched_mppi_solve(env, N: int, H: int, lam: float,
     )
     from covo_mpc_tpu.utils.keys import fold_in_batch
 
+    if rng not in ("fast", "kernel"):
+        # "invariant" is a sharded-core mode; the batched single-chip
+        # solves draw per-scenario fold_in streams ("fast") or in-kernel
+        # ("kernel") — anything else used to FALL THROUGH to fast
+        # silently, mis-attributing results (r5 review finding)
+        raise ValueError(f"batched solve supports rng='fast'/'kernel', "
+                         f"got {rng!r}")
     dA = env.action_dim
     rollout_b = make_pallas_rollout_batched(env, interpret=interpret,
                                             fast_keys=True)

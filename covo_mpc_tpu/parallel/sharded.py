@@ -194,15 +194,25 @@ def make_sharded_mppi_solve(env, mesh, N: int, H: int, lam: float,
         a_mean_new = lax.psum(mean_local, axis) * gamma_mean + a_mean * (
             1.0 - gamma_mean
         )
-        if transposed:
-            dev = a_local - a_mean_new[..., None]
-            cov_local = jnp.einsum("n,hin,hjn->hij", weight, dev, dev)
-        else:
-            dev = a_local - a_mean_new[None]
-            cov_local = jnp.einsum("n,nhi,nhj->hij", weight, dev, dev)
-        a_cov_new = lax.psum(cov_local, axis) * gamma_sigma + a_cov * (
-            1.0 - gamma_sigma
-        )
+        def blended(_):
+            # the blend re-reads the whole local action tensor; at the
+            # paper's gamma_sigma=0 it is an identity, so skip it like
+            # reductions.cov_update_t does on the single-chip path
+            # (measured 0.086 -> 0.074 ms there). gamma_sigma is
+            # replicated, so every shard takes the same cond branch and
+            # the psum stays collective-consistent.
+            if transposed:
+                dev = a_local - a_mean_new[..., None]
+                cov_local = jnp.einsum("n,hin,hjn->hij", weight, dev, dev)
+            else:
+                dev = a_local - a_mean_new[None]
+                cov_local = jnp.einsum("n,nhi,nhj->hij", weight, dev, dev)
+            return lax.psum(cov_local, axis) * gamma_sigma + a_cov * (
+                1.0 - gamma_sigma
+            )
+
+        a_cov_new = lax.cond(gamma_sigma == 0.0, lambda _: a_cov, blended,
+                             None)
         if collect_metrics:
             from covo_mpc_tpu.runtime.metrics import solve_metrics_sharded
 

@@ -53,52 +53,48 @@ def time_blocking(fn: Callable, iters: int = 30, warmup: int = 2, *args, **kw):
 
 
 def time_chained(fn: Callable, key, iters: int = 8, k: int = 32, warmup: int = 1):
-    """Amortized per-call device-time stats: chains ``k`` dependent calls of
-    ``fn(key) -> array`` inside one jitted `lax.scan` per measurement, so
-    dispatch latency spreads over k (the shape a deployed control loop
-    runs). Returns p50/p90/p99/mean seconds PER CALL over `iters` batches.
+    """Amortized per-call seconds: chains dependent calls of
+    ``fn(key) -> array`` inside one jitted `lax.scan` (the shape a
+    deployed control loop runs) and reads the wall via the sanctioned
+    methods — device trace (:func:`time_trace`) with the two-point
+    slope as fallback. The pre-r5 implementation subtracted a proxy
+    empty-dispatch estimate, the method CLAUDE.md's perf notes document
+    as WRONG on this box (its ±2 ms wobble corrupts a K=32 chain by up
+    to 50%); that path is gone (r5 review finding).
+
+    Returns the per-call dict the CLI bench JSON expects; with the
+    trace method the per-call device work has no host-visible variance,
+    so p50/p90/p99/mean all report the measured wall and ``method``
+    says which estimator produced it.
     """
+    del warmup  # both estimators warm internally
     import jax.numpy as jnp
     from jax import lax
 
-    @jax.jit
-    def run(key):
-        def one(c, _):
-            key, acc = c
-            key, sub = jax.random.split(key)
-            out = fn(sub)
-            return (key, acc + jnp.sum(out) * 1e-20), ()
+    def make_run(length):
+        @jax.jit
+        def run(i):
+            def one(c, _):
+                kk, acc = c
+                kk, sub = jax.random.split(kk)
+                out = fn(sub)
+                return (kk, acc + jnp.sum(out) * 1e-20), ()
 
-        (key, acc), _ = lax.scan(one, (key, jnp.float32(0.0)), None, length=k)
-        return acc
+            init = (jax.random.fold_in(key, i), jnp.float32(0.0))
+            (_, acc), _ = lax.scan(one, init, None, length=length)
+            return acc
 
-    @jax.jit
-    def empty(x):
-        return x + 1
+        return run
 
-    for _ in range(warmup):
-        _sync(run(key))
-    _sync(empty(jnp.zeros((), jnp.int32)))
-    overhead = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        _sync(empty(jnp.zeros((), jnp.int32)))
-        overhead.append(time.perf_counter() - t0)
-    dispatch = min(overhead)
-    times = []
-    for i in range(iters):
-        sub = jax.random.fold_in(key, i)
-        t0 = time.perf_counter()
-        _sync(run(sub))
-        times.append(max(time.perf_counter() - t0 - dispatch, 0.0) / k)
-    arr = np.sort(np.array(times))
+    try:
+        per = time_trace(make_run, chain=8 * k, iters=min(iters, 4))
+        method = "trace"
+    except Exception:  # noqa: BLE001 — profiler optional
+        per, _ = time_slope(make_run, k=k)
+        method = "slope"
     return {
-        "p50": float(np.percentile(arr, 50)),
-        "p90": float(np.percentile(arr, 90)),
-        "p99": float(np.percentile(arr, 99)),
-        "mean": float(arr.mean()),
-        "iters": iters,
-        "chained": k,
+        "p50": per, "p90": per, "p99": per, "mean": per,
+        "iters": iters, "chained": k, "method": method,
     }
 
 

@@ -88,8 +88,15 @@ def render_episode(
                 done, on_done, lambda args: args,
                 (rng, env_params, control_params),
             )
+        # the step-RETURNED info's err_pos is evaluated on the PRE-step
+        # state (get_info(state, ...), the reference quirk) — i.e. on
+        # exactly the state this record snapshots; the carry `info` held
+        # the PREVIOUS step's error, shifting the channel one step
+        # against pos/reward/action (r5 review finding; episode.py's
+        # eval protocol already records the returned info)
         record.update(
-            reward=reward, done=done, err_pos=info["err_pos"], action=action
+            reward=reward, done=done, err_pos=next_info["err_pos"],
+            action=action,
         )
         return (
             next_obs, next_state, rng, env_params, control_params, next_info

@@ -104,17 +104,32 @@ class _EventLog:
 
 
 def _save_state(ckpt_dir, manifest, rng, err_pos, failed, completed):
-    np.savez(
-        os.path.join(ckpt_dir, _STATE),
-        rng=np.asarray(rng),
-        err_pos=err_pos,
-        failed=failed,
-    )
+    """Crash-atomic checkpoint commit.
+
+    state.npz is the AUTHORITATIVE artifact: it carries `completed`
+    alongside the arrays and is written tmp + os.replace, so a kill at
+    any instant leaves either the previous consistent checkpoint or the
+    new one — never a truncated npz or a carry that disagrees with its
+    completed count (r5 review finding: the old in-place savez +
+    manifest-carries-completed ordering had both failure windows). The
+    manifest keeps a copy of `completed` for humans/old readers, but
+    resume trusts the npz."""
+    spath = os.path.join(ckpt_dir, _STATE)
+    stmp = spath + ".tmp"
+    with open(stmp, "wb") as fh:
+        np.savez(
+            fh,
+            rng=np.asarray(rng),
+            err_pos=err_pos,
+            failed=failed,
+            completed=np.asarray(completed, np.int64),
+        )
+    os.replace(stmp, spath)  # atomic cutover — the commit point
     manifest = dict(manifest, completed=completed)
     tmp = os.path.join(ckpt_dir, _MANIFEST + ".tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
-    os.replace(tmp, os.path.join(ckpt_dir, _MANIFEST))  # atomic cutover
+    os.replace(tmp, os.path.join(ckpt_dir, _MANIFEST))
 
 
 def _try_resume(ckpt_dir, manifest, log):
@@ -132,6 +147,10 @@ def _try_resume(ckpt_dir, manifest, log):
             f"({on_disk} != {manifest}); pass a fresh --checkpoint-dir"
         )
     with np.load(spath) as data:
+        # the npz's completed is authoritative (committed atomically
+        # WITH the carry); the manifest copy covers pre-r5 checkpoints
+        if "completed" in data:
+            completed = int(data["completed"])
         state = (
             jnp.asarray(data["rng"]),
             data["err_pos"].copy(),
@@ -397,7 +416,17 @@ class CellStore:
 
     @staticmethod
     def _slug(key: str) -> str:
-        return "".join(c if c.isalnum() or c in "-_." else "_" for c in key)
+        """Filesystem-safe UNIQUE directory name for a cell key.
+
+        The readable prefix maps unsafe chars to '_', which can collide
+        ('covo N=8' vs 'covo_N.8'); a short hash of the raw key keeps
+        distinct keys on distinct dirs so one cell's stale-checkpoint
+        clearing can never destroy another cell's in-flight episode
+        checkpoint (r5 review finding)."""
+        import hashlib
+
+        safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in key)
+        return f"{safe}-{hashlib.sha1(key.encode()).hexdigest()[:8]}"
 
     def cell_dir(self, key: str) -> str:
         return os.path.join(self.root, self._slug(key))

@@ -97,6 +97,14 @@ def test_render_trace_roundtrip(tmp_path):
     trace = render_episode(env, solver, seed=1, steps=50)
     assert trace["pos"].shape == (50, 3)
     assert trace["reward"].shape == (50,)
+    # err_pos must be ALIGNED with the same step's pos/pos_tar snapshot
+    # (it was recorded from the previous step's carry info through r5,
+    # shifting the channel one step against every other field)
+    np.testing.assert_allclose(
+        trace["err_pos"],
+        np.linalg.norm(trace["pos"] - trace["pos_tar"], axis=-1),
+        atol=1e-5,
+    )
     p = save_trace(trace, str(tmp_path / "trace.npz"))
     loaded = load_trace(p)
     np.testing.assert_allclose(loaded["pos"], trace["pos"])
