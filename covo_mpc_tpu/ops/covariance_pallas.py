@@ -12,6 +12,17 @@ Numerics match ops.covariance.optimize_sigma_ns: identical iteration
 counts, and every dot runs at Precision.HIGHEST (TPU's default bf16
 truncation NaNs the λ_min refinement — see covariance._mm).
 
+Perf status (r5, device-trace solve-level A/B — scripts/sigma_pallas_ab.py):
+DECLINED as the default. The full covo gn+krng solve measures 181.7 µs
+with this kernel vs 130.2 µs with the XLA-side designer (−51 µs). The
+fusion does eliminate the designer's per-op issue latency, but the
+in-kernel elimination (`_chol_logdet`: 128 sequential iterations × 3
+dependent MXU dots) is far slower than XLA's cholesky custom-call
+(14 µs, DESIGN.md §5 roofline), and Mosaic's HIGHEST-precision dots
+don't beat XLA's on dependent 128×128 chains. Kept behind
+sigma_mode="ns_pallas" as the fusion-experiment record + coverage for
+environments where a single-launch designer matters more than latency.
+
 Reference semantics: covo.py:116-132 (det-preserving R^{-1/2} spectrum
 rescale); equivalence pinned by tests/test_covo.py::TestOptimizeSigmaNSPallas.
 """

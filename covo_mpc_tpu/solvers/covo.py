@@ -90,9 +90,11 @@ class CoVOSolver(BaseSolver):
                 # designer for offline regardless of sigma_mode.
                 self._optimize_sigma = covariance.optimize_sigma_ns
             else:
-                # fused single-kernel variant; measured on par with the jnp
-                # path on TPU (XLA already runs the matmul chain at the MXU
-                # floor) — kept for in-kernel fusion headroom
+                # fused single-kernel variant; r5 trace A/B: LOSES to the
+                # XLA designer solve-level (181.7 vs 130.2 us — the
+                # in-kernel elimination is ~4x XLA's cholesky custom-call;
+                # scripts/sigma_pallas_ab.py) — kept as the measured
+                # fusion-experiment record, not a fast path
                 from covo_mpc_tpu.ops.covariance_pallas import (
                     optimize_sigma_ns_pallas,
                 )
