@@ -16,10 +16,12 @@ Perf status (r5, device-trace solve-level A/B — scripts/sigma_pallas_ab.py):
 DECLINED as the default. The full covo gn+krng solve measures 181.7 µs
 with this kernel vs 130.2 µs with the XLA-side designer (−51 µs). The
 fusion does eliminate the designer's per-op issue latency, but the
-in-kernel elimination (`_chol_logdet`: 128 sequential iterations × 3
-dependent MXU dots) is far slower than XLA's cholesky custom-call
-(14 µs, DESIGN.md §5 roofline), and Mosaic's HIGHEST-precision dots
-don't beat XLA's on dependent 128×128 chains. Kept behind
+trace shows the kernel itself runs 109.7 µs/solve vs ~48 µs for the
+XLA designer stages: Mosaic's HIGHEST-precision dependent 128×128 dot
+chains are ~2× XLA's MXU chain even before the in-kernel elimination
+(`_chol_logdet`: 128 sequential iterations × 3 dependent MXU dots,
+vs XLA's 14 µs cholesky custom-call) — so a hybrid split (kernel
+chains + XLA cholesky) cannot win either. Kept behind
 sigma_mode="ns_pallas" as the fusion-experiment record + coverage for
 environments where a single-launch designer matters more than latency.
 
